@@ -1,0 +1,96 @@
+"""Multi-view projection + feature gathering (the reference `Projector`).
+
+JAX counterpart of /root/reference/libs/renders/BaseRender.py:278-363 and
+demo_render.py:505-632: project query points into each source camera,
+normalize pixel coords to [-1, 1] (align_corners convention), gather source
+RGB and encoder features bilinearly, and build the per-view validity mask
+(in-bounds AND in-front-of-camera, with the THuman `neg_ray` sign flip at
+BaseRender.py:319-322).
+
+Instead of the reference's packed 34-float IBRNet camera vectors
+(BaseRender.py:233-247) we pass K_h (V,4,4) and pose_h (V,4,4) directly; the
+product K_h @ pose_h is precomputed once per frame.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gpnerf_tpu.ops.grid_sample import grid_sample_2d_nhwc
+
+
+def compute_projections(xyz, KE, *, neg_ray=False):
+    """Project points into V cameras.
+
+    Args:
+      xyz: (P, 3) world points.
+      KE: (V, 4, 4) intrinsics @ extrinsics (homogeneous).
+      neg_ray: valid when behind camera (THuman).
+
+    Returns:
+      pixel_xy: (V, P, 2) clamped to +-1e6 (BaseRender.py:317).
+      in_front: (V, P) bool.
+    """
+    xyz_h = jnp.concatenate([xyz, jnp.ones_like(xyz[..., :1])], axis=-1)
+    proj = jnp.einsum("vij,pj->vpi", KE, xyz_h)  # (V, P, 4)
+    pixel = proj[..., :2] / proj[..., 2:3]
+    pixel = jnp.clip(pixel, -1e6, 1e6)
+    in_front = proj[..., 2] < 0 if neg_ray else proj[..., 2] > 0
+    return pixel, in_front
+
+
+def normalize_pixels(pixel_xy, h, w):
+    """Pixel coords -> [-1, 1] with the (size-1) denominator
+    (BaseRender.py:296-299, align_corners=True convention)."""
+    scale = jnp.asarray([w - 1.0, h - 1.0], dtype=pixel_xy.dtype)
+    return 2.0 * pixel_xy / scale - 1.0
+
+
+def inbound_mask(pixel_xy, h, w):
+    """(BaseRender.py:283-294)."""
+    return (
+        (pixel_xy[..., 0] <= w - 1.0)
+        & (pixel_xy[..., 0] >= 0)
+        & (pixel_xy[..., 1] <= h - 1.0)
+        & (pixel_xy[..., 1] >= 0)
+    )
+
+
+def project_and_gather(xyz, KE, src_imgs, featmaps, h, w, *, neg_ray=False):
+    """The reference `Projector.compute` (BaseRender.py:326-363).
+
+    Args:
+      xyz: (P, 3) query points (flattened rays x samples).
+      KE: (V, 4, 4) K_h @ pose_h per source view.
+      src_imgs: (V, H, W, 3) un-normalized source images (NHWC).
+      featmaps: (V, Hf, Wf, C) encoder feature maps (NHWC).
+      h, w: source image size (pixel-coordinate frame of K).
+
+    Returns:
+      rgb_feat: (P, V, 3 + C) gathered rgb + features.
+      mask: (P, V) float validity (in-bounds * in-front).
+    """
+    pixel, in_front = compute_projections(xyz, KE, neg_ray=neg_ray)  # (V,P,2)
+    norm_pix = normalize_pixels(pixel, h, w)
+    rgb = grid_sample_2d_nhwc(src_imgs, norm_pix)  # (V, P, 3)
+    feat = grid_sample_2d_nhwc(featmaps, norm_pix)  # (V, P, C)
+    rgb_feat = jnp.concatenate([rgb, feat], axis=-1).transpose(1, 0, 2)
+    mask = (inbound_mask(pixel, h, w) & in_front).astype(rgb_feat.dtype)
+    return rgb_feat, mask.transpose(1, 0)
+
+
+def gather_smpl_features(smpl_xyz, KE, featmaps, h, w, *, neg_ray=False):
+    """Per-SMPL-vertex multi-view feature gather
+    (`Projector.compute` smpl branch, BaseRender.py:341-346 /
+    demo_render.compute_smpl:612-632).
+
+    Args:
+      smpl_xyz: (S, 3) posed SMPL vertices in world space.
+
+    Returns:
+      smpl_feat: (S, V, C).
+    """
+    pixel, _ = compute_projections(smpl_xyz, KE, neg_ray=neg_ray)
+    norm_pix = normalize_pixels(pixel, h, w)
+    feat = grid_sample_2d_nhwc(featmaps, norm_pix)  # (V, S, C)
+    return feat.transpose(1, 0, 2)

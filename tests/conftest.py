@@ -1,0 +1,22 @@
+"""Test environment: force the CPU backend with 8 virtual devices so
+multi-chip sharding tests run without TPU hardware (the JAX-idiomatic fake
+backend; SURVEY.md §4 item 4).
+
+A pytest plugin imports jax before this conftest runs, so env vars alone are
+too late; jax backends initialize lazily, so the runtime config switch below
+still takes effect as long as no array has touched a device yet.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
