@@ -1,0 +1,173 @@
+"""The 4-level sparse 3D CNN over the SMPL voxel grid.
+
+Twin of /root/reference/libs/nerfheads/networks/SparseConvNet.py:90-143,
+re-designed for TPU: the spconv CUDA stack becomes the gather->MXU-matmul
+convolutions of `gpnerf_tpu.ops.sparse_conv` over static-capacity active
+sets, and the `.dense()` + grid_sample multi-scale query becomes a sparse
+trilinear gather through per-level index volumes — dense feature volumes are
+never materialized.
+
+Layer stack (SparseConvNet.py:96-103): double_conv(in, in) at the input
+level, then per level i: stride_conv(-> out_dim[i], s=2) + double_conv.
+Each conv is SubM/SparseConv3d (k=3, bias-free) + BatchNorm1d(eps 1e-3,
+momentum 0.01) + ReLU. Query features are collected at the 4 downsampled
+levels (sizes out_sh/2 .. out_sh/16) AFTER each level's double_conv and
+concatenated (4 x 32 = 128 channels).
+
+The active-set pyramid (grids) is geometry-only (no parameters) and is
+built once per frame by `build_grid_pyramid`; the demo renderer reuses it
+and the cached per-level features across the whole image
+(SparseConvNet.encode, SparseConvNet.py:126-143).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gpnerf_tpu.models.layers import MaskedBatchNorm
+from gpnerf_tpu.ops.sparse_conv import (
+    SparseGrid,
+    build_sparse_grid,
+    scatter_channel_sum,
+    stride_active_set,
+    stride_conv3x3,
+    subm_conv3x3,
+    trilinear_sparse_gather,
+)
+
+
+def build_grid_pyramid(
+    coords, valid, shape: Sequence[int], caps: Sequence[int]
+) -> Tuple[List[SparseGrid], jnp.ndarray]:
+    """Input grid + 4 strided grids. caps: capacities for levels 1..4
+    (level 4 reuses caps[-1] if caps has length 4). Returns (grids,
+    overflow counts (4,))."""
+    grids = [build_sparse_grid(coords, valid, tuple(shape))]
+    overflows = []
+    level_caps = list(caps)
+    while len(level_caps) < 4:
+        level_caps.append(level_caps[-1])
+    for i in range(4):
+        g, ov = stride_active_set(grids[-1], level_caps[i])
+        grids.append(g)
+        overflows.append(ov)
+    return grids, jnp.stack(overflows)
+
+
+class _DoubleConv(nn.Module):
+    """SubM k3 + BN + ReLU, twice (SparseConvNet.py:33-49)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, grid: SparseGrid, *, train: bool):
+        cin = x.shape[-1]
+        for j, ci in enumerate((cin, self.features)):
+            w = self.param(
+                f"w{j}",
+                nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                (27, ci if j == 0 else self.features, self.features),
+            )
+            x = subm_conv3x3(x, grid, w)
+            x = MaskedBatchNorm(name=f"bn{j}")(
+                x, grid.valid, use_running_average=not train
+            )
+            x = nn.relu(x)
+        return x
+
+
+class _StrideConv(nn.Module):
+    """SparseConv3d k3 s2 p1 + BN + ReLU (SparseConvNet.py:78-87)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, in_grid: SparseGrid, out_grid: SparseGrid, *, train: bool):
+        w = self.param(
+            "w",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+            (27, x.shape[-1], self.features),
+        )
+        x = stride_conv3x3(x, in_grid, out_grid, w)
+        x = MaskedBatchNorm(name="bn")(x, out_grid.valid, use_running_average=not train)
+        return nn.relu(x)
+
+
+class SparseConvNet(nn.Module):
+    """n_layers=4 levels; out_dim=[32, 32, 32, 32] (trainhead.py:37-38)."""
+
+    n_layers: int = 4
+    out_dim: Sequence[int] = (32, 32, 32, 32)
+
+    @nn.compact
+    def features(self, code, grids: List[SparseGrid], *, train: bool):
+        """Run the conv stack; return per-level feature matrices
+        [(CAP_i, out_dim[i-1]) for levels 1..4]. `code`: (CAP0, in_dim)."""
+        assert len(self.out_dim) == self.n_layers
+        in_dim = code.shape[-1]
+        x = _DoubleConv(in_dim, name="subm0")(code, grids[0], train=train)
+        level_feats = []
+        for i in range(self.n_layers):
+            x = _StrideConv(self.out_dim[i], name=f"down{i}")(
+                x, grids[i], grids[i + 1], train=train
+            )
+            x = _DoubleConv(self.out_dim[i], name=f"subm{i + 1}")(
+                x, grids[i + 1], train=train
+            )
+            level_feats.append(x)
+        return level_feats
+
+    def query(self, level_feats, grids, dhw_vox, out_sh_dyn):
+        """Multi-scale trilinear query (SparseConvNet.forward's
+        grid_sample concat, SparseConvNet.py:105-124).
+
+        Args:
+          level_feats: the 4 per-level feature matrices from `features`.
+          grids: the grid pyramid (5 entries; levels 1..4 used).
+          dhw_vox: (P, 3) query positions in level-0 input voxel units
+            (float, already (dhw - min_dhw) / voxel_size).
+          out_sh_dyn: (3,) per-frame dynamic out_sh (the reference
+            normalizes grid coords by it: BaseRender.py:62-73).
+
+        Returns: (P, sum(out_dim)) concatenated features.
+        """
+        outs = []
+        frac = dhw_vox / out_sh_dyn.astype(dhw_vox.dtype)
+        for i in range(self.n_layers):
+            size = out_sh_dyn // (2 ** (i + 1))
+            # grid_sample align_corners unnormalization: pos = frac*(size-1)
+            pos = frac * (size - 1).astype(dhw_vox.dtype)
+            outs.append(
+                trilinear_sparse_gather(
+                    level_feats[i], grids[i + 1], pos, dyn_size=size
+                )
+            )
+        return jnp.concatenate(outs, axis=-1)
+
+    def __call__(self, code, grids, dhw_vox, out_sh_dyn, *, train: bool):
+        level_feats = self.features(code, grids, train=train)
+        return self.query(level_feats, grids, dhw_vox, out_sh_dyn)
+
+
+def occupancy_volume(level_feats, grids: List[SparseGrid]):
+    """The demo renderer's `masks3d` (SparseConvNet.encode,
+    SparseConvNet.py:126-143): per-level channel-sums, nearest-upsampled to
+    the level-1 (first downsampled) resolution and summed.
+
+    Returns (D1, H1, W1) float volume at level-1 resolution; occupied voxel
+    world recovery uses coord * 2.0 level-0 units (the reference's
+    `mask_xyz = where(masks3d > th) * 2.0`).
+    """
+    D1, H1, W1 = grids[1].shape
+    total = jnp.zeros((D1, H1, W1), dtype=level_feats[0].dtype)
+    for i in range(len(level_feats)):
+        vol = scatter_channel_sum(level_feats[i], grids[i + 1])
+        for _ in range(i):  # nearest-upsample by 2 per extra level
+            vol = (
+                vol.repeat(2, axis=0).repeat(2, axis=1).repeat(2, axis=2)
+            )
+        total = total + vol
+    return total
