@@ -147,15 +147,21 @@ cfg.tpu = CN()
 # voxel-site capacity at the sparse volume's input level (>= #unique SMPL
 # voxels; 6890 vertices -> <=6890 unique 5mm voxels)
 cfg.tpu.site_cap = 8192
-# per-level site capacity growth for strided-conv active-set generation
-cfg.tpu.level_caps = [8192, 8192, 4096, 2048]
+# per-level site capacities for strided-conv active-set generation
+# (measured on the 6,890-vertex body: ~15.4k/6.9k/1.9k/0.5k actives at
+# levels 1-4; sized with headroom for spread poses)
+cfg.tpu.level_caps = [20480, 10240, 4096, 2048]
 # static dense volume shape (dhw), multiple of 32; per-frame out_sh is
 # clamped/padded into this buffer so XLA sees one shape
-cfg.tpu.max_out_sh = [96, 352, 384]
+cfg.tpu.max_out_sh = [96, 384, 384]
 # progressive (demo) renderer: ray / sample-point / color-point capacities
 cfg.tpu.ray_cap = 65536
 cfg.tpu.sigma_cap = 1048576
 cfg.tpu.rgb_cap = 262144
+# BaseRender full-image eval: padded capacity for all bound-mask rays
+cfg.tpu.eval_ray_cap = 131072
+# eval chunk size (rays per lax.map step on the BaseRender eval path)
+cfg.tpu.eval_chunk = 8192
 # matmul precision: 'bfloat16' or 'float32'
 cfg.tpu.matmul_dtype = "bfloat16"
 # mesh axis name + size for data parallelism (-1 = all devices)

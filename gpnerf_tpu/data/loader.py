@@ -1,0 +1,244 @@
+"""Samplers and a lightweight single-process data loader.
+
+Behavioral port of /root/reference/libs/datasets/samplers.py:23-207 without
+the torch dependency: FrameSampler (every 30th frame x all test cams),
+IterationBasedBatchSampler (ep_iter iterations per epoch), DistributedSampler
+(per-process contiguous shards with epoch-seeded shuffles; here "process" =
+jax process for multi-host, with an explicit (num_replicas, rank) for
+tests), and the default batch sampler. `ImageSizeBatchSampler` is available
+via 'image_size' but unused by the shipped configs — kept for API parity.
+
+The loader is synchronous (batch_size is frames-per-step; the renderer is
+one-frame-per-device). For multi-device data parallelism the train driver
+pulls `dp` batches per step and stacks them.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+class SequentialSampler:
+    def __init__(self, dataset):
+        self.n = len(dataset)
+
+    def __iter__(self):
+        return iter(range(self.n))
+
+    def __len__(self):
+        return self.n
+
+
+class RandomSampler:
+    def __init__(self, dataset, seed=None):
+        self.n = len(dataset)
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        return iter(self.rng.permutation(self.n).tolist())
+
+    def __len__(self):
+        return self.n
+
+
+class DistributedSampler:
+    """Rank-sliced contiguous shards, epoch-seeded shuffle
+    (samplers.py:86-142)."""
+
+    def __init__(self, dataset, num_replicas, rank, shuffle=True):
+        self.dataset = dataset
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.epoch = 0
+        self.num_samples = int(math.ceil(len(dataset) / num_replicas))
+        self.total_size = self.num_samples * num_replicas
+        self.shuffle = shuffle
+
+    def __iter__(self):
+        if self.shuffle:
+            g = np.random.default_rng(self.epoch)
+            indices = g.permutation(len(self.dataset)).tolist()
+        else:
+            indices = list(range(len(self.dataset)))
+        indices += indices[: (self.total_size - len(indices))]
+        assert len(indices) == self.total_size
+        offset = self.num_samples * self.rank
+        indices = indices[offset : offset + self.num_samples]
+        assert len(indices) == self.num_samples
+        return iter(indices)
+
+    def __len__(self):
+        return self.num_samples
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+
+class FrameSampler:
+    """Test-time: every 30th frame x all test cams (samplers.py:145-164)."""
+
+    def __init__(self, dataset, frame_stride=30):
+        num_imgs = len(dataset)
+        ni = num_imgs // dataset.num_cams
+        inds = np.arange(0, ni * dataset.num_cams).reshape(ni, -1)[::frame_stride]
+        self.inds = inds.ravel()
+
+    def __iter__(self):
+        return iter(self.inds.tolist())
+
+    def __len__(self):
+        return len(self.inds)
+
+
+class BatchSampler:
+    def __init__(self, sampler, batch_size, drop_last):
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+
+    def __iter__(self):
+        batch = []
+        for idx in self.sampler:
+            batch.append(idx)
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __len__(self):
+        if self.drop_last:
+            return len(self.sampler) // self.batch_size
+        return (len(self.sampler) + self.batch_size - 1) // self.batch_size
+
+
+class IterationBasedBatchSampler:
+    """Fixed ep_iter iterations per epoch (samplers.py:61-83)."""
+
+    def __init__(self, batch_sampler, num_iterations, start_iter=0):
+        self.batch_sampler = batch_sampler
+        self.sampler = batch_sampler.sampler
+        self.num_iterations = num_iterations
+        self.start_iter = start_iter
+
+    def __iter__(self):
+        iteration = self.start_iter
+        while iteration <= self.num_iterations:
+            for batch in self.batch_sampler:
+                iteration += 1
+                if iteration > self.num_iterations:
+                    break
+                yield batch
+
+    def __len__(self):
+        return self.num_iterations
+
+
+class ImageSizeBatchSampler:
+    """Random 32-aligned H/W per batch (samplers.py:23-58); available via
+    batch_sampler='image_size' but unused by the shipped configs."""
+
+    def __init__(self, sampler, batch_size, drop_last, sampler_meta):
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.strategy = sampler_meta["strategy"]
+        self.hmin, self.wmin = sampler_meta["min_hw"]
+        self.hmax, self.wmax = sampler_meta["max_hw"]
+        self.divisor = 32
+
+    def generate_height_width(self):
+        if self.strategy == "origin":
+            return -1, -1
+        h = np.random.randint(self.hmin, self.hmax + 1)
+        w = np.random.randint(self.wmin, self.wmax + 1)
+        h = (h | (self.divisor - 1)) + 1
+        w = (w | (self.divisor - 1)) + 1
+        return h, w
+
+    def __iter__(self):
+        batch = []
+        h, w = self.generate_height_width()
+        for idx in self.sampler:
+            batch.append((idx, h, w))
+            if len(batch) == self.batch_size:
+                h, w = self.generate_height_width()
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __len__(self):
+        if self.drop_last:
+            return len(self.sampler) // self.batch_size
+        return (len(self.sampler) + self.batch_size - 1) // self.batch_size
+
+
+def make_data_sampler(cfg, dataset, is_distributed, is_train, *, num_replicas=1, rank=0):
+    """(samplers.py:167-182)."""
+    shuffle = (
+        cfg.dataset.train.shuffle if is_train else cfg.dataset.test.shuffle
+    )
+    if not is_train and cfg.dataset.test.sampler == "FrameSampler":
+        return FrameSampler(dataset)
+    if is_distributed:
+        return DistributedSampler(dataset, num_replicas, rank, shuffle=shuffle)
+    return RandomSampler(dataset) if shuffle else SequentialSampler(dataset)
+
+
+def build_batchsampler(cfg, dataset, is_distributed, batch_size, is_train,
+                       *, num_replicas=1, rank=0):
+    """(samplers.py:185-207)."""
+    sampler = make_data_sampler(
+        cfg, dataset, is_distributed, is_train, num_replicas=num_replicas, rank=rank
+    )
+    if not is_train and cfg.dataset.test.sampler == "FrameSampler":
+        return sampler
+    if is_train:
+        batch_sampler_name = cfg.dataset.train.batch_sampler
+        sampler_meta = cfg.dataset.train.sampler_meta
+        drop_last = cfg.dataset.train.drop_last
+    else:
+        batch_sampler_name = cfg.dataset.test.batch_sampler
+        sampler_meta = cfg.dataset.test.sampler_meta
+        drop_last = cfg.dataset.test.drop_last
+    if batch_sampler_name == "default":
+        batch_sampler = BatchSampler(sampler, batch_size, drop_last)
+    elif batch_sampler_name == "image_size":
+        batch_sampler = ImageSizeBatchSampler(sampler, batch_size, drop_last, sampler_meta)
+    else:
+        raise ValueError(batch_sampler_name)
+    if cfg.train.ep_iter != -1 and is_train:
+        batch_sampler = IterationBasedBatchSampler(batch_sampler, cfg.train.ep_iter)
+    return batch_sampler
+
+
+class DataLoader:
+    """Synchronous loader: yields one frame-batch (dict of numpy arrays) per
+    index; index batches of size 1 are unwrapped."""
+
+    def __init__(self, dataset, batch_sampler):
+        self.dataset = dataset
+        self.batch_sampler = batch_sampler
+
+    def __iter__(self):
+        for idx in self.batch_sampler:
+            if isinstance(idx, list):
+                if len(idx) == 1:
+                    yield self.dataset[idx[0]]
+                else:
+                    yield [self.dataset[i] for i in idx]
+            else:
+                yield self.dataset[idx]
+
+    def __len__(self):
+        return len(self.batch_sampler)
+
+
+def data_loop(data_loader):
+    """Loop an iterable infinitely (BaseTrainer.py:22-28)."""
+    while True:
+        for x in iter(data_loader):
+            yield x

@@ -1,0 +1,82 @@
+"""SyntheticDataset: HumanNVSDataset over the procedural scene.
+
+The fixture analog of ZjumocapDataset — same batch contract, no disk IO.
+Camera split follows the reference's cam_num==3 convention
+(/root/reference/libs/datasets/ZjumocapDataset.py:198-204): train cams
+[0, 8, 16], test cams every `interval`-th.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gpnerf_tpu.data.base import HumanNVSDataset
+from gpnerf_tpu.data.synthetic import SyntheticScene
+
+
+class SyntheticDataset(HumanNVSDataset):
+    def __init__(
+        self,
+        split: str,
+        n_frames=30,
+        n_cams=12,
+        img_hw=(512, 512),
+        interval=6,
+        seed=0,
+        **kwargs,
+    ):
+        super().__init__(split=split, **kwargs)
+        self.scene = SyntheticScene(n_cams=n_cams, img_hw=img_hw, seed=seed)
+        self.items = [("synthetic", f) for f in range(n_frames)]
+        test_ids = np.arange(n_cams)[::interval]
+        if self.cam_num == 3:
+            train_ids = np.array([0, n_cams // 3, 2 * n_cams // 3], np.int64)
+        else:
+            train_ids = np.array(
+                [j for j in range(n_cams) if j not in test_ids], np.int64
+            )
+        self._cams = {
+            "K": self.scene.Ks,
+            "R": self.scene.Rs,
+            "T": self.scene.Ts,
+            "train_ids": train_ids,
+            "test_ids": test_ids,
+        }
+        self.num_cams = len(train_ids) if split == "train" else len(test_ids)
+
+    def cameras(self, seq):
+        return self._cams
+
+    def load_view(self, seq, frame_id, cam_id):
+        return self.scene.render_view(frame_id, cam_id)
+
+    def load_smpl(self, seq, frame_id):
+        world, _colors, Rh, Th, _can = self.scene.vertices_world(frame_id)
+        return world, Rh, Th
+
+
+def build_dataset(cfg, is_train=True):
+    split_cfg = cfg.dataset.train if is_train else cfg.dataset.test
+    H = int(cfg.dataset.H * cfg.dataset.ratio)
+    W = int(cfg.dataset.W * cfg.dataset.ratio)
+    return SyntheticDataset(
+        split="train" if is_train else "test",
+        n_cams=split_cfg.dataset_cams,
+        img_hw=(H, W),
+        interval=split_cfg.interval,
+        src_view_num=cfg.src_view_num,
+        cam_num=cfg.cam_num,
+        nrays=cfg.train.n_rays,
+        body_sample_ratio=cfg.train.body_sample_ratio,
+        mask_bkgd=cfg.mask_bkgd,
+        voxel_size=tuple(cfg.dataset.voxel_size),
+        max_out_sh=tuple(cfg.tpu.max_out_sh),
+        test_ray_cap=cfg.tpu.eval_ray_cap,
+        frame_sampler=(cfg.dataset.test.sampler == "FrameSampler"),
+        neg_ray="thuman" in split_cfg.name,
+    )
+
+
+from gpnerf_tpu.registry import register  # noqa: E402
+
+register("dataset", "SyntheticDataset", build_dataset)

@@ -110,3 +110,8 @@ class ResUNet(nn.Module):
 def build_encoder(cfg):
     """Factory mirroring UNet.py:237-243."""
     return ResUNet(out_ch=cfg.encoder.out_ch, encoder=cfg.encoder.name)
+
+
+from gpnerf_tpu.registry import register  # noqa: E402
+
+register("encoder", "UNet", build_encoder)

@@ -171,19 +171,35 @@ class NeRFHead(nn.Module):
         )
         self.rgbhead = NeRFRGBHead(in_feat_ch=self.in_feat_ch)
 
-    def __call__(self, smpl_feat, vertex_rows, grids, dhw_vox, out_sh_dyn,
-                 rgb_feat, mask, *, train: bool):
-        """Full forward over one frame's query points.
+    def volume(self, smpl_feat, vertex_rows, grids, *, train: bool):
+        """Fuse vertex codes and build the sparse feature volume ONCE per
+        frame. The reference rebuilds this per ray chunk during training
+        (trainhead.py:48-56 runs per render_rays call — 3 redundant builds
+        per step at chunk=400); hoisting it out is a free win the demo
+        renderer's `encode` already exploits (SURVEY.md §3.1)."""
+        fused = self.sigmahead.fuse_codes(smpl_feat)
+        return self.sigmahead.volume_features(fused, vertex_rows, grids, train=train)
+
+    def point_forward(self, level_feats, grids, dhw_vox, out_sh_dyn, rgb_feat, mask):
+        """Query + MLP heads for one ray chunk.
 
         dhw_vox: (N_rays*N_samples, 3); rgb_feat: (N_rays, N_samples, V, C+3).
         Returns (raw (N_rays, N_samples, 4), rgb_in)."""
         n_rays, n_samples = rgb_feat.shape[:2]
-        sigma_feat = self.sigmahead(
-            smpl_feat, vertex_rows, grids, dhw_vox, out_sh_dyn, train=train
+        sigma_feat = self.sigmahead.query_sigma_feat(
+            level_feats, grids, dhw_vox, out_sh_dyn
         ).reshape(n_rays, n_samples, -1)
         rgb_in, rgb, sigma = self.rgbhead(rgb_feat, sigma_feat, mask)
         raw = jnp.concatenate([rgb, sigma], axis=-1)
         return raw, rgb_in
+
+    def __call__(self, smpl_feat, vertex_rows, grids, dhw_vox, out_sh_dyn,
+                 rgb_feat, mask, *, train: bool):
+        """Full forward over one frame's query points (volume built once)."""
+        level_feats = self.volume(smpl_feat, vertex_rows, grids, train=train)
+        return self.point_forward(
+            level_feats, grids, dhw_vox, out_sh_dyn, rgb_feat, mask
+        )
 
 
 def build_head(cfg):
@@ -197,3 +213,8 @@ def build_head(cfg):
         spconv_n_layers=cfg.head.sigma.n_layers,
         spconv_out_dim=tuple(cfg.head.sigma.outdims),
     )
+
+
+from gpnerf_tpu.registry import register  # noqa: E402
+
+register("head", "trainhead", build_head)

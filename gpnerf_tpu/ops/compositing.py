@@ -62,7 +62,10 @@ def raw2outputs(raw, z_vals, pixel_mask, neg=False):
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=1)
     depth_map = jnp.sum(weights * z_vals, axis=-1)
     acc_map = jnp.sum(weights, axis=-1)
-    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+    # the reference's disp is NaN for empty rays (0/0 through torch.max,
+    # BaseRender.py:101-103); guard the denominator since disp is unused by
+    # losses/metrics and NaNs poison finite-checks
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / jnp.maximum(acc_map, 1e-10))
     mask = pixel_mask.astype(jnp.float32).sum(axis=1) > 8
 
     return CompositeOutput(rgb_map, disp_map, acc_map, weights, depth_map, mask, alpha)

@@ -1,0 +1,288 @@
+"""Trainer / evaluation driver.
+
+Twin of /root/reference/libs/trainers/BaseTrainer.py:55-308 on the jitted
+train step: one `.train()` call is one epoch of `ep_iter` iterations;
+quick-val every `valiter_interval` iterations logs mse/psnr/ssim and a
+side-by-side image; per-epoch checkpointing in the reference's torch .pth
+format with best-model tracking and >30-checkpoint pruning; `.evaluate()`
+runs the eval loader with per-frame render timing (the reference's only
+speed benchmark, BaseTrainer.py:276-280)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpnerf_tpu.data.loader import data_loop
+from gpnerf_tpu.ops.image import resize
+from gpnerf_tpu.registry import register
+from gpnerf_tpu.train.checkpoint import (
+    load_checkpoint,
+    optax_to_numpy,
+    pack_state,
+    save_checkpoint,
+)
+from gpnerf_tpu.train.evaluator import Evaluator
+from gpnerf_tpu.train.step import make_train_step, merge_variables, split_variables
+from gpnerf_tpu.utils.metric_logger import MetricLogger, SmoothedValue
+
+
+def to_device(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg,
+        render,
+        criterion,
+        optimizer,
+        lr_schedule,
+        logger,
+        log_dir,
+        performance_indicator="psnr",
+        last_iter=-1,
+        rank=0,
+        variables=None,
+        opt_state=None,
+        rng=None,
+    ):
+        self.cfg = cfg
+        self.render = render
+        self.criterion = criterion
+        self.optimizer = optimizer
+        self.lr_schedule = lr_schedule
+        self.logger = logger
+        self.log_dir = os.path.join(log_dir, cfg.output_dir) if log_dir else None
+        self.epoch = last_iter + 1
+        self.PI = performance_indicator
+        self.rank = rank
+        self.best_performance = 0.0
+        self.is_best = False
+        self.max_epoch = cfg.train.max_epoch
+        self.model_name = cfg.render.file
+        self.iter_count = 0
+        self.rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+
+        self.variables = variables
+        self.opt_state = opt_state
+        if optimizer is not None:
+            self._step = make_train_step(render, criterion, optimizer)
+        self.writer = None
+        if self.optimizer is not None and rank == 0 and self.log_dir:
+            from gpnerf_tpu.utils.logging_utils import ScalarWriter
+
+            self.writer = ScalarWriter(self.log_dir)
+            self.logger.info(f"max epochs = {self.max_epoch} ")
+
+    # ------------------------------------------------------------------
+    def train(self, train_loader, eval_loader):
+        self.evaluator = Evaluator(self.cfg, "eval")
+        start_time = time.time()
+        metric_logger = MetricLogger(delimiter="  ")
+        metric_logger.add_meter("lr", SmoothedValue(window_size=1, fmt="{value:.6f}"))
+        header = "Epoch: [{}]".format(self.epoch)
+        print_freq = self.cfg.train.print_freq
+        eval_data_iter = data_loop(eval_loader)
+        if self.epoch > self.max_epoch:
+            self.logger.info("Optimization is done!")
+            sys.exit(0)
+
+        params, batch_stats = split_variables(self.variables)
+        for data in metric_logger.log_every(train_loader, print_freq, header, self.logger):
+            batch = to_device(data)
+            self.rng, step_rng = jax.random.split(self.rng)
+            params, batch_stats, self.opt_state, metrics = self._step(
+                params, batch_stats, self.opt_state, batch, step_rng
+            )
+            loss_value = float(metrics["loss"])
+            if not math.isfinite(loss_value):
+                self.logger.info("Loss is {}, stopping training".format(loss_value))
+                sys.exit(1)
+            lr_now = float(self.lr_schedule(self.iter_count))
+            metric_logger.update(
+                loss=loss_value,
+                lr=lr_now,
+                **{k: float(v) for k, v in metrics.items() if k != "loss"},
+            )
+            self.iter_count += 1
+            if (
+                self.rank == 0
+                and self.iter_count % self.cfg.train.valiter_interval == 0
+                and self.cfg.train.val_when_train
+            ):
+                self.variables = merge_variables(params, batch_stats)
+                performance = self.quick_val(eval_data_iter)
+                if self.writer:
+                    self.writer.add_scalar(self.PI, performance, self.iter_count)
+                self.logger.info("Now: {} is {:.4f}".format(self.PI, performance))
+
+        self.variables = merge_variables(params, batch_stats)
+        train_stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
+        log_stats = {
+            **{f"train_{k}": v for k, v in train_stats.items()},
+            "epoch": self.epoch,
+            "iter": self.iter_count,
+        }
+        if self.rank == 0 and self.writer:
+            for key, val in log_stats.items():
+                self.writer.add_scalar(key, val, log_stats["iter"])
+
+        # save checkpoint (BaseTrainer.py:154-199)
+        if (
+            self.rank == 0
+            and self.epoch > 0
+            and self.epoch % self.cfg.train.save_interval == 0
+        ):
+            if self.cfg.train.val_when_train:
+                performance = self.quick_val(data_loop(eval_loader))
+                if self.writer:
+                    self.writer.add_scalar(self.PI, performance, self.iter_count)
+                self.is_best = performance > self.best_performance
+                if self.is_best:
+                    self.best_performance = performance
+                self.logger.info(f"Now: best {self.PI} is {self.best_performance}")
+            else:
+                performance = -1
+
+            filename = (
+                f"{self.epoch}.pth" if self.cfg.train.save_every_checkpoint else "latest.pth"
+            )
+            save_dir = os.path.join(self.log_dir, self.cfg.output_dir)
+            save_checkpoint(
+                {
+                    "epoch": self.epoch,
+                    "model": self.model_name,
+                    f"performance/{self.PI}": performance,
+                    "state_dict": pack_state(self.variables, self.cfg.head.sigma.n_layers),
+                    "optimizer": optax_to_numpy(self.opt_state),
+                },
+                self.is_best,
+                save_dir,
+                filename=filename,
+            )
+            pths = [
+                int(pth.split(".")[0])
+                for pth in os.listdir(save_dir)
+                if pth not in ("latest.pth", "model_best.pth") and pth.endswith(".pth")
+            ]
+            if len(pths) > 30:
+                os.remove(os.path.join(save_dir, "{}.pth".format(min(pths))))
+
+        total_time = time.time() - start_time
+        import datetime
+
+        self.logger.info(
+            "Training time {}".format(str(datetime.timedelta(seconds=int(total_time))))
+        )
+        self.epoch += 1
+
+    # ------------------------------------------------------------------
+    def quick_val(self, eval_data_iter):
+        """(BaseTrainer.py:207-252)."""
+        val_stats = {}
+        H, W = int(self.cfg.dataset.H * self.cfg.dataset.ratio), int(
+            self.cfg.dataset.W * self.cfg.dataset.ratio
+        )
+        val_data = next(eval_data_iter)
+        batch = to_device(val_data)
+        ret = self.render.render_eval_fn()(self.variables, batch)
+        image_stats = self.process_img(ret, val_data, W, H)
+        loss_dict = self.criterion(ret, batch, is_train=False)
+        self.evaluator.evaluate(ret, val_data)
+        for k, v in loss_dict.items():
+            val_stats[k] = val_stats.get(k, 0) + float(v)
+        val_stats.update(
+            {
+                "mse": self.evaluator.mse[-1],
+                "psnr": self.evaluator.psnr[-1],
+                "ssim": self.evaluator.ssim[-1],
+            }
+        )
+        log_stats = {
+            **{f"eval_{k}": v for k, v in val_stats.items()},
+            "epoch": self.epoch,
+            "iter": self.iter_count,
+        }
+        if self.writer:
+            for key, val in log_stats.items():
+                self.writer.add_scalar(key, val, log_stats["iter"])
+            for k, v in image_stats.items():
+                self.writer.add_image(f"val_iter/{k}", v, log_stats["iter"])
+        msg = "rgb_loss: {:.4f}, mse: {:.4f}, psnr: {:.4f}, ssim: {:.4f}".format(
+            val_stats["rgb_loss"], val_stats["mse"], val_stats["psnr"], val_stats["ssim"]
+        )
+        self.logger.info(msg)
+        return val_stats[self.PI]
+
+    # ------------------------------------------------------------------
+    def evaluate(self, eval_loader, result_path, is_vis=False):
+        """(BaseTrainer.py:255-280). Per-frame wall time measured around the
+        blocking device call (the reference's rtime)."""
+        self.evaluator = Evaluator(self.cfg, self.cfg.test.test_seq)
+        count = 0
+        H, W = int(self.cfg.dataset.H * self.cfg.dataset.ratio), int(
+            self.cfg.dataset.W * self.cfg.dataset.ratio
+        )
+        os.makedirs(result_path, exist_ok=True)
+        total_time = 0.0
+        render_fn = (
+            self.render.render_demo_fn()
+            if hasattr(self.render, "render_demo_fn")
+            else self.render.render_eval_fn()
+        )
+        for data in eval_loader:
+            batch = to_device(data)
+            t0 = time.time()
+            ret = jax.block_until_ready(render_fn(self.variables, batch))
+            rtime = time.time() - t0
+            if is_vis:
+                vis = self.process_img(ret, data, W, H)["render_img"]
+                from gpnerf_tpu.ops.image import imwrite
+
+                imwrite(f"{result_path}/{count}.jpg", vis)
+            self.evaluator.evaluate(ret, data)
+            total_time += rtime
+            count += 1
+        metrics = None
+        if self.cfg.head.rgb.use_rgbhead:
+            metrics = self.evaluator.summarize()
+        avg = total_time / max(count, 1)
+        print(f"avg total render time: {avg}s per sample")
+        return metrics, avg
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def process_img(pred, batch, W, H):
+        """(BaseTrainer.py:284-308): reassemble masked pixels, hstack
+        src|gt|pred, halve."""
+        mask_at_box = np.asarray(batch["mask_at_box"]).reshape(H, W)
+        n = int(np.asarray(batch["n_rays"]))
+        if "pred_img" not in pred:
+            pred_img = np.zeros((H, W, 3))
+            pred_img[mask_at_box] = np.asarray(pred["rgb_map"])[:n, :3]
+        else:
+            pred_img = np.asarray(pred["pred_img"])
+        gt_img = np.zeros((H, W, 3))
+        gt_img[mask_at_box] = np.asarray(batch["rgb"])[:n, :3]
+
+        src_imgs = np.asarray(batch["src_imgs"]) * 0.5 + 0.5  # (V, H, W, 3)
+        vis = np.hstack([*src_imgs, gt_img, pred_img])
+        vis = resize(
+            vis.astype(np.float32), (vis.shape[1] // 2, vis.shape[0] // 2), "area"
+        )
+        return {"render_img": np.clip(vis, 0.0, 1.0)}
+
+
+def build_trainer(cfg, **kwargs):
+    return Trainer(cfg, **kwargs)
+
+
+register("trainer", "BaseTrainer", build_trainer)
