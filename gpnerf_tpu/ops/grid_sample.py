@@ -138,3 +138,40 @@ def grid_sample_3d(vol_ncdhw, grid):
     vol = jnp.moveaxis(vol_ncdhw, 1, -1)
     out = grid_sample_3d_ndhwc(vol, grid)
     return jnp.moveaxis(out, -1, 1)
+
+
+def trilinear_dense_gather(vol, pos, dyn_size=None):
+    """Trilinear sample of a dense scalar volume at absolute voxel
+    positions, with an optional *dynamic* valid extent (the per-frame out_sh
+    region inside a static buffer). Zeros padding outside the dynamic
+    extent — the demo renderer's occupancy lookup
+    (/root/reference/libs/renders/demo_render.py:274-279).
+
+    vol: (D, H, W); pos: (P, 3) dhw voxel units; dyn_size: (3,) or None.
+    Returns (P,)."""
+    import itertools as _it
+
+    D, H, W = vol.shape
+    if dyn_size is None:
+        size = jnp.asarray([D, H, W], jnp.int32)
+    else:
+        size = dyn_size.astype(jnp.int32)
+    base = jnp.floor(pos).astype(jnp.int32)
+    w1 = pos - jnp.floor(pos)
+    w0 = 1.0 - w1
+    flat = vol.reshape(-1)
+    out = 0.0
+    for sel in _it.product((0, 1), repeat=3):
+        corner = base + jnp.asarray(sel, jnp.int32)
+        inb = jnp.all((corner >= 0) & (corner < size), axis=-1) & jnp.all(
+            corner < jnp.asarray([D, H, W]), axis=-1
+        )
+        c = jnp.clip(corner, 0, jnp.asarray([D - 1, H - 1, W - 1]))
+        idx = (c[:, 0] * H + c[:, 1]) * W + c[:, 2]
+        w = (
+            (w1[:, 0] if sel[0] else w0[:, 0])
+            * (w1[:, 1] if sel[1] else w0[:, 1])
+            * (w1[:, 2] if sel[2] else w0[:, 2])
+        )
+        out = out + flat[idx] * w * inb.astype(vol.dtype)
+    return out

@@ -1,0 +1,118 @@
+"""Data-parallel tests on the 8-device virtual CPU mesh: the DP step runs,
+keeps params replicated-consistent, and matches a single-device step run on
+the mean gradient."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpnerf_tpu.config import cfg as _cfg
+from gpnerf_tpu.parallel.dp import make_dp_train_step, make_mesh, stack_batches
+from gpnerf_tpu.registry import get
+from gpnerf_tpu.train.step import make_optimizer, split_variables
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    cfg = _cfg.clone()
+    cfg.defrost()
+    cfg.merge_from_file("configs/synthetic.yaml")
+    cfg.dataset.H = 128
+    cfg.dataset.W = 128
+    cfg.head.sigma.code_dim = 16
+    cfg.train.n_rays = 64
+    cfg.train.n_samples = 16
+    cfg.tpu.site_cap = 8192
+    cfg.tpu.level_caps = [20480, 10240, 4096, 2048]
+    cfg.tpu.eval_ray_cap = 4096
+    cfg.tpu.eval_chunk = 1024
+    cfg.freeze()
+    return cfg
+
+
+def test_dp_train_step_runs_and_reduces(small_cfg):
+    cfg = small_cfg
+    assert len(jax.devices()) >= 4, "conftest should provide 8 CPU devices"
+    mesh = make_mesh(4)
+
+    np.random.seed(0)
+    ds = get("dataset", cfg.dataset.train.file)(cfg, is_train=True)
+    render = get("render", cfg.render.file)(cfg)
+    criterion = get("criterion", cfg.train.criterion_file)(cfg)
+    variables = render.init_variables(jax.random.PRNGKey(0), ds[0])
+    optimizer, _ = make_optimizer(cfg)
+    params, batch_stats = split_variables(variables)
+    opt_state = optimizer.init(params)
+
+    step = make_dp_train_step(render, criterion, optimizer, mesh)
+    batches = stack_batches([ds[i] for i in range(4)])
+    rngs = jax.random.split(jax.random.PRNGKey(1), 4)
+
+    params_before = jax.tree.map(np.asarray, params)  # donation invalidates inputs
+    params2, bs2, opt_state2, metrics = step(
+        params, batch_stats, opt_state, batches, rngs
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    # params changed and stayed finite
+    delta = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), params2, params_before
+    )
+    assert max(jax.tree.leaves(delta)) > 0
+    assert all(
+        bool(jnp.isfinite(p).all()) for p in jax.tree.leaves(params2)
+    )
+
+
+def test_dp_matches_manual_grad_mean(small_cfg):
+    """pmean-of-grads == mean of per-device grads, compared with a
+    scale-aware tolerance (different reduction orders reassociate float32;
+    conv biases feeding InstanceNorm have true-zero grads that are pure
+    noise, so per-leaf comparisons are normalized by the leaf's grad
+    scale)."""
+    cfg = small_cfg
+    mesh = make_mesh(2)
+    np.random.seed(0)
+    ds = get("dataset", cfg.dataset.train.file)(cfg, is_train=True)
+    render = get("render", cfg.render.file)(cfg)
+    criterion = get("criterion", cfg.train.criterion_file)(cfg)
+    variables = render.init_variables(jax.random.PRNGKey(0), ds[0])
+    params, batch_stats = split_variables(variables)
+
+    frames = [ds[0], ds[1]]
+    rngs = jax.random.split(jax.random.PRNGKey(7), 2)
+
+    def loss_fn(p, batch, rng):
+        v = {
+            "encoder": {"params": p["encoder"]},
+            "head": {"params": p["head"], "batch_stats": batch_stats},
+        }
+        ret, _ = render.render_train(v, batch, rng)
+        return sum(criterion(ret, batch, True).values())
+
+    gfun = jax.jit(jax.grad(loss_fn))
+    g0 = gfun(params, {k: jnp.asarray(v) for k, v in frames[0].items()}, rngs[0])
+    g1 = gfun(params, {k: jnp.asarray(v) for k, v in frames[1].items()}, rngs[1])
+    gmean = jax.tree.map(lambda a, b: (a + b) / 2, g0, g1)
+
+    from jax.sharding import PartitionSpec as P
+
+    def device_fn(batch, rng):
+        batch = jax.tree.map(lambda x: x[0], batch)
+        g = jax.grad(loss_fn)(params, batch, rng[0])
+        return jax.lax.pmean(g, "dp")
+
+    sharded = jax.jit(
+        jax.shard_map(
+            device_fn, mesh=mesh, in_specs=(P("dp"), P("dp")), out_specs=P(),
+            check_vma=False,
+        )
+    )
+    batches = {k: jnp.asarray(v) for k, v in stack_batches(frames).items()}
+    gdp = sharded(batches, rngs)
+
+    global_scale = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(gmean))
+    for a, b in zip(jax.tree.leaves(gmean), jax.tree.leaves(gdp)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-4 * global_scale)
+        assert np.abs(a - b).max() <= 2e-2 * scale + 1e-9
