@@ -127,6 +127,8 @@ class HumanNVSDataset:
         test_ray_cap=65536,
         frame_sampler=False,
         neg_ray=False,
+        with_mesh_grid=False,
+        inside_view=(0, 6, 12, 18),
     ):
         self.split = split
         self.src_view_num = src_view_num
@@ -139,6 +141,8 @@ class HumanNVSDataset:
         self.test_ray_cap = int(test_ray_cap)
         self.frame_sampler = frame_sampler
         self.neg_ray = neg_ray
+        self.with_mesh_grid = with_mesh_grid
+        self.inside_view = tuple(inside_view)
 
     # -- subclass API ------------------------------------------------------
     def cameras(self, seq):
@@ -150,7 +154,42 @@ class HumanNVSDataset:
     def load_smpl(self, seq, frame_id):
         raise NotImplementedError
 
+    def mask_and_camera(self, seq, frame_id, cam_id):
+        """Mask + consistent (K, R, T) for the visual-hull views (subclass
+        hook for the mesh path; resolution of mask and K must agree)."""
+        raise NotImplementedError
+
     # ------------------------------------------------------------------
+    def mesh_grid(self, can_bounds):
+        """Dense grid over can_bounds at voxel_size
+        (ZjumocapDataset.py:396-406)."""
+        vs = self.voxel_size
+        x = np.arange(can_bounds[0, 0], can_bounds[1, 0] + vs[0], vs[0])
+        y = np.arange(can_bounds[0, 1], can_bounds[1, 1] + vs[1], vs[1])
+        z = np.arange(can_bounds[0, 2], can_bounds[1, 2] + vs[2], vs[2])
+        return np.stack(np.meshgrid(x, y, z, indexing="ij"), axis=-1).astype(
+            np.float32
+        )
+
+    def prepare_inside_pts(self, pts, seq, frame_id):
+        """Visual hull from the inside-view masks
+        (ZjumocapDataset.prepare_inside_pts, :259-283)."""
+        from gpnerf_tpu.data.geometry import project
+
+        sh = pts.shape
+        pts3d = pts.reshape(-1, 3)
+        inside = np.ones(len(pts3d), np.uint8)
+        for nv in self.inside_view:
+            ind = inside == 1
+            msk, K, R, T = self.mask_and_camera(seq, frame_id, nv)
+            RT = np.concatenate([R, T.reshape(3, 1)], axis=1)
+            pts2d = np.round(project(pts3d[ind], K, RT)).astype(np.int32)
+            H, W = msk.shape[:2]
+            pts2d[:, 0] = np.clip(pts2d[:, 0], 0, W - 1)
+            pts2d[:, 1] = np.clip(pts2d[:, 1], 0, H - 1)
+            inside[ind] = (msk[pts2d[:, 1], pts2d[:, 0]] != 0).astype(np.uint8)
+        return inside.reshape(*sh[:-1])
+
     def __len__(self):
         return len(self.items) * self.num_cams
 
@@ -305,4 +344,8 @@ class HumanNVSDataset:
             "img_hw": np.asarray([H, W], np.int32),
         }
         ret.update(padded)
+        if self.with_mesh_grid:
+            pts = self.mesh_grid(can_bounds)
+            ret["pts"] = pts
+            ret["inside"] = self.prepare_inside_pts(pts, seq, frame_id)
         return ret

@@ -54,6 +54,11 @@ class SyntheticDataset(HumanNVSDataset):
         world, _colors, Rh, Th, _can = self.scene.vertices_world(frame_id)
         return world, Rh, Th
 
+    def mask_and_camera(self, seq, frame_id, cam_id):
+        cam_id = cam_id % self.scene.n_cams
+        _img, msk = self.scene.render_view(frame_id, cam_id)
+        return msk, self.scene.Ks[cam_id], self.scene.Rs[cam_id], self.scene.Ts[cam_id]
+
 
 def build_dataset(cfg, is_train=True):
     split_cfg = cfg.dataset.train if is_train else cfg.dataset.test
@@ -74,6 +79,7 @@ def build_dataset(cfg, is_train=True):
         test_ray_cap=cfg.tpu.eval_ray_cap,
         frame_sampler=(cfg.dataset.test.sampler == "FrameSampler"),
         neg_ray="thuman" in split_cfg.name,
+        with_mesh_grid=not cfg.head.rgb.use_rgbhead,
     )
 
 

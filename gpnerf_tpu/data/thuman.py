@@ -241,7 +241,36 @@ class CustomDataset(HumanNVSDataset):
             "img_hw": np.asarray([H, W], np.int32),
         }
         ret.update(padded)
+        if self.with_mesh_grid:
+            pts = self.mesh_grid(can_bounds)
+            ret["pts"] = pts
+            ret["inside"] = self._inside_pts(pts, annot)
         return ret
+
+    def _inside_pts(self, pts, annot):
+        """Visual hull from full-res masks (CustomDataset.prepare_inside_pts,
+        :108-132)."""
+        from gpnerf_tpu.data.geometry import project
+
+        sh = pts.shape
+        pts3d = pts.reshape(-1, 3)
+        inside = np.ones(len(pts3d), np.uint8)
+        for nv in self.inside_view:
+            ind = inside == 1
+            K, R, T = self._load_cam(annot, nv)
+            msk = (
+                self.get_mask(
+                    osp.join(self.data_root, annot[nv]["masks_path"].lstrip("/"))
+                )
+                != 0
+            ).astype(np.uint8)
+            RT = np.concatenate([R, T.reshape(3, 1)], axis=1)
+            pts2d = np.round(project(pts3d[ind], K, RT)).astype(np.int32)
+            H, W = msk.shape[:2]
+            pts2d[:, 0] = np.clip(pts2d[:, 0], 0, W - 1)
+            pts2d[:, 1] = np.clip(pts2d[:, 1], 0, H - 1)
+            inside[ind] = msk[pts2d[:, 1], pts2d[:, 0]]
+        return inside.reshape(*sh[:-1])
 
 
 def build_dataset(cfg, is_train=True):
@@ -263,6 +292,7 @@ def build_dataset(cfg, is_train=True):
         test_ray_cap=cfg.tpu.eval_ray_cap,
         frame_sampler=(cfg.dataset.test.sampler == "FrameSampler"),
         neg_ray=True,
+        with_mesh_grid=not cfg.head.rgb.use_rgbhead,
     )
 
 

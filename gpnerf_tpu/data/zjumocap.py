@@ -154,6 +154,14 @@ class ZjumocapDataset(HumanNVSDataset):
             i = int(osp.basename(img_name)[:-4])
         return i
 
+    def mask_and_camera(self, seq, frame_id, cam_id):
+        """Visual-hull views use full-resolution masks + unscaled K
+        (ZjumocapDataset.prepare_inside_pts, :259-283)."""
+        img_name = str(self._frame_ims[seq][frame_id][cam_id])
+        msk = (self.get_mask(seq, img_name) != 0).astype(np.uint8)
+        t = self._cam_tables[seq]
+        return msk, t["K_full"][cam_id], t["R"][cam_id], t["T"][cam_id]
+
     def load_smpl(self, seq, frame_id):
         seq_path = osp.join(self.data_root, seq)
         i = self.smpl_index(seq, frame_id)
@@ -201,6 +209,7 @@ def build_dataset(cfg, is_train=True):
         test_ray_cap=cfg.tpu.eval_ray_cap,
         frame_sampler=(cfg.dataset.test.sampler == "FrameSampler"),
         neg_ray="thuman" in split_cfg.name,
+        with_mesh_grid=not cfg.head.rgb.use_rgbhead,
     )
 
 

@@ -296,6 +296,106 @@ class Renderer:
             return ret
         return self.render_eval_fn()(variables, batch)
 
+    # ------------------------------------------------------------------
+    # mesh extraction (use_rgbhead=False branch, BaseRender.py:255-272 /
+    # demo_render.py:249-268,366-376)
+    # ------------------------------------------------------------------
+    def _grid_shapes(self):
+        D, H, W = self.max_out_sh
+        return [
+            (D >> i, H >> i, W >> i) for i in range(5)
+        ]
+
+    def _mesh_fns(self):
+        if getattr(self, "_mesh_jits", None) is not None:
+            return self._mesh_jits
+        from gpnerf_tpu.models.heads import fused_mean_variance
+        from gpnerf_tpu.ops.sparse_conv import SparseGrid
+
+        @jax.jit
+        def vol_fn(variables, batch):
+            featmaps = self.encoder.apply(variables["encoder"], batch["src_imgs"])
+            pre = self.prepare_frame(batch, featmaps, neg_ray=self.neg_ray_val)
+            level_feats = self.nerfhead.apply(
+                variables["head"], pre["smpl_feat"], pre["vertex_rows"],
+                pre["grids"], train=False, method="volume",
+            )
+            parts = [(g.coords, g.valid, g.index_vol) for g in pre["grids"]]
+            return featmaps, pre["KE"], parts, level_feats, pre["out_sh"]
+
+        @jax.jit
+        def chunk_fn(variables, featmaps, KE, parts, level_feats, out_sh,
+                     batch, pts):
+            grids = [
+                SparseGrid(c, v, iv, shp)
+                for (c, v, iv), shp in zip(parts, self._grid_shapes())
+            ]
+            dhw = self.points_to_dhw_vox(pts, batch)
+            sigma_feat = self.nerfhead.apply(
+                variables["head"], level_feats, grids, dhw, out_sh,
+                method=lambda m, *a: m.sigmahead.query_sigma_feat(*a),
+            )
+            H, W = batch["src_imgs"].shape[1:3]
+            rgb_feat, vm = project_and_gather(
+                pts, KE, batch["src_imgs"] * 0.5 + 0.5, featmaps, H, W,
+                neg_ray=self.neg_ray_val,
+            )
+            mean, var = fused_mean_variance(rgb_feat)
+            nvo = vm.sum(axis=-1, keepdims=True)
+            sigma = self.nerfhead.apply(
+                variables["head"], sigma_feat, mean[:, 0], var[:, 0], nvo,
+                method=lambda m, *a: m.rgbhead.density(*a),
+            )
+            return sigma[:, 0]
+
+        self._mesh_jits = (vol_fn, chunk_fn)
+        return self._mesh_jits
+
+    def render_mesh(self, variables, batch_np, chunk=65536):
+        """Sigma over the visual-hull grid points -> alpha cube -> padded
+        marching cubes at mesh_th -> mesh. Follows the demo renderer's mesh
+        branch (density MLP sigma; demo_render.py:294-314,366-376); the
+        reference BaseRender mesh branch reads raw channel 0 — the red
+        component — as sigma (BaseRender.py:267), which we treat as a quirk
+        and do not reproduce."""
+        import numpy as np
+
+        from gpnerf_tpu.ops.marching_cubes import marching_cubes
+        from gpnerf_tpu.utils.mesh_io import Trimesh
+
+        vol_fn, chunk_fn = self._mesh_fns()
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in batch_np.items()
+            if k not in ("pts", "inside")
+        }
+        featmaps, KE, parts, level_feats, out_sh = vol_fn(variables, batch)
+
+        pts = np.asarray(batch_np["pts"])
+        inside = np.asarray(batch_np["inside"]).astype(bool)
+        sh = pts.shape[:-1]
+        sel = np.flatnonzero(inside.reshape(-1))
+        flat = pts.reshape(-1, 3)[sel]
+        n = len(flat)
+        n_pad = (-n) % chunk
+        flat = np.concatenate([flat, np.zeros((n_pad, 3), np.float32)])
+        sigmas = []
+        for i in range(0, len(flat), chunk):
+            s = chunk_fn(
+                variables, featmaps, KE, parts, level_feats, out_sh, batch,
+                jnp.asarray(flat[i : i + chunk]),
+            )
+            sigmas.append(np.asarray(s))
+        sigma = np.concatenate(sigmas)[:n]
+        alpha = 1.0 - np.exp(-sigma)
+
+        cube = np.zeros(int(np.prod(sh)), np.float64)
+        cube[sel] = alpha
+        cube = cube.reshape(sh)
+        cube = np.pad(cube, 10, mode="constant")
+        vertices, triangles = marching_cubes(cube, self.mesh_th)
+        return {"cube": cube, "mesh": Trimesh(vertices, triangles)}
+
 
 def build_render(cfg):
     """Factory mirroring BaseRender.build_render (BaseRender.py:367-403),
