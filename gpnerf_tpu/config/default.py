@@ -155,9 +155,11 @@ cfg.tpu.level_caps = [20480, 10240, 4096, 2048]
 # clamped/padded into this buffer so XLA sees one shape
 cfg.tpu.max_out_sh = [96, 384, 384]
 # progressive (demo) renderer: ray / sample-point / color-point capacities
+# (sized for trained occupancy fields: ~40-60k body rays at 512x512, ~10-20%
+# sample survival; overflow counters in the render output flag undersizing)
 cfg.tpu.ray_cap = 65536
-cfg.tpu.sigma_cap = 1048576
-cfg.tpu.rgb_cap = 262144
+cfg.tpu.sigma_cap = 524288
+cfg.tpu.rgb_cap = 131072
 # BaseRender full-image eval: padded capacity for all bound-mask rays
 cfg.tpu.eval_ray_cap = 131072
 # eval chunk size (rays per lax.map step on the BaseRender eval path)

@@ -48,6 +48,7 @@ class NeRFSigmaHead(nn.Module):
     attn_n_heads: int = 4
     spconv_n_layers: int = 4
     spconv_out_dim: Sequence[int] = (32, 32, 32, 32)
+    compute_dtype: object = None
 
     def setup(self):
         self.c = self.param(
@@ -65,7 +66,9 @@ class NeRFSigmaHead(nn.Module):
         self.xyzc_net = SparseConvNet(
             n_layers=self.spconv_n_layers, out_dim=tuple(self.spconv_out_dim)
         )
-        self.out_geometry_fc = MLP((64,), ("elu",), name="out_geometry_fc")
+        self.out_geometry_fc = MLP(
+            (64,), ("elu",), dtype=self.compute_dtype, name="out_geometry_fc"
+        )
 
     def fuse_codes(self, smpl_feat):
         """Cross-attention fusion: query = vertex code, keys/values = that
@@ -96,6 +99,11 @@ class NeRFSigmaHead(nn.Module):
         feats = self.xyzc_net.query(level_feats, grids, dhw_vox, out_sh_dyn)
         return self.out_geometry_fc(feats)
 
+    def query_sigma_feat_dense(self, dense_vols, dhw_vox, out_sh_dyn):
+        """Dense-volume variant for large query counts (demo path)."""
+        feats = self.xyzc_net.query_dense(dense_vols, dhw_vox, out_sh_dyn)
+        return self.out_geometry_fc(feats)
+
     def __call__(self, smpl_feat, vertex_rows, grids, dhw_vox, out_sh_dyn,
                  *, train: bool):
         fused = self.fuse_codes(smpl_feat)
@@ -105,13 +113,16 @@ class NeRFSigmaHead(nn.Module):
 
 class NeRFRGBHead(nn.Module):
     in_feat_ch: int = 32
+    compute_dtype: object = None
 
     def setup(self):
-        self.base_fc = MLP((64, 32), ("elu", "elu"), name="base_fc")
-        self.vis_fc = MLP((32, 32), ("elu", "elu"), name="vis_fc")
-        self.rgb_fc = MLP((32, 16, 3), ("elu", "elu", "none"), name="rgb_fc")
+        dt = self.compute_dtype
+        self.base_fc = MLP((64, 32), ("elu", "elu"), dtype=dt, name="base_fc")
+        self.vis_fc = MLP((32, 32), ("elu", "elu"), dtype=dt, name="vis_fc")
+        self.rgb_fc = MLP((32, 16, 3), ("elu", "elu", "none"), dtype=dt, name="rgb_fc")
         self.out_geometry_fc = MLP(
-            (64, 32, 16, 1), ("elu", "elu", "elu", "relu"), name="out_geometry_fc"
+            (64, 32, 16, 1), ("elu", "elu", "elu", "relu"), dtype=dt,
+            name="out_geometry_fc",
         )
 
     def density(self, sigma_feat, mean, var, num_valid_obs):
@@ -159,6 +170,7 @@ class NeRFHead(nn.Module):
     spconv_n_layers: int = 4
     spconv_out_dim: Sequence[int] = (32, 32, 32, 32)
     use_rgbhead: bool = True
+    compute_dtype: object = None
 
     def setup(self):
         self.sigmahead = NeRFSigmaHead(
@@ -168,8 +180,11 @@ class NeRFHead(nn.Module):
             attn_n_heads=self.attn_n_heads,
             spconv_n_layers=self.spconv_n_layers,
             spconv_out_dim=self.spconv_out_dim,
+            compute_dtype=self.compute_dtype,
         )
-        self.rgbhead = NeRFRGBHead(in_feat_ch=self.in_feat_ch)
+        self.rgbhead = NeRFRGBHead(
+            in_feat_ch=self.in_feat_ch, compute_dtype=self.compute_dtype
+        )
 
     def volume(self, smpl_feat, vertex_rows, grids, *, train: bool):
         """Fuse vertex codes and build the sparse feature volume ONCE per

@@ -103,10 +103,13 @@ class MaskedBatchNorm(nn.Module):
 
 class MLP(nn.Module):
     """Linear stack with per-layer activations; kaiming-normal init matches
-    the reference's `weights_init` (trainhead.py:13-17)."""
+    the reference's `weights_init` (trainhead.py:13-17). `dtype` is the
+    compute dtype (params stay float32; bfloat16 halves the MXU/HBM cost of
+    the per-point heads on the inference path)."""
 
     features: Sequence[int]
     activations: Sequence[str]  # per layer: 'elu', 'relu', 'sigmoid', 'none'
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -115,6 +118,7 @@ class MLP(nn.Module):
                 f,
                 kernel_init=nn.initializers.he_normal(),
                 bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
                 name=f"dense_{i}",
             )(x)
             if act == "elu":

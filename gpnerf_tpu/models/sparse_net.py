@@ -147,6 +147,20 @@ class SparseConvNet(nn.Module):
             )
         return jnp.concatenate(outs, axis=-1)
 
+    def query_dense(self, dense_vols, dhw_vox, out_sh_dyn):
+        """Multi-scale trilinear query against materialized dense per-level
+        volumes (the demo path scatters them once per frame; direct row
+        gathers beat the index-volume indirection for large query counts)."""
+        from gpnerf_tpu.ops.grid_sample import trilinear_dense_rows
+
+        outs = []
+        frac = dhw_vox / out_sh_dyn.astype(dhw_vox.dtype)
+        for i in range(self.n_layers):
+            size = out_sh_dyn // (2 ** (i + 1))
+            pos = frac * (size - 1).astype(dhw_vox.dtype)
+            outs.append(trilinear_dense_rows(dense_vols[i], pos, dyn_size=size))
+        return jnp.concatenate(outs, axis=-1)
+
     def __call__(self, code, grids, dhw_vox, out_sh_dyn, *, train: bool):
         level_feats = self.features(code, grids, train=train)
         return self.query(level_feats, grids, dhw_vox, out_sh_dyn)

@@ -140,6 +140,38 @@ def grid_sample_3d(vol_ncdhw, grid):
     return jnp.moveaxis(out, -1, 1)
 
 
+def trilinear_dense_rows(vol, pos, dyn_size=None):
+    """Trilinear sample of a dense (D, H, W, C) volume at absolute voxel
+    positions with an optional dynamic valid extent. The demo renderer's
+    per-point multi-scale query runs through this after materializing the
+    per-level feature volumes once per frame: direct row gathers, no
+    index-volume indirection. Returns (P, C)."""
+    import itertools as _it
+
+    D, H, W, C = vol.shape
+    if dyn_size is None:
+        size = jnp.asarray([D, H, W], jnp.int32)
+    else:
+        size = dyn_size.astype(jnp.int32)
+    base = jnp.floor(pos).astype(jnp.int32)
+    w1 = (pos - jnp.floor(pos)).astype(vol.dtype)
+    w0 = 1.0 - w1
+    flat = vol.reshape(-1, C)
+    out = 0.0
+    for sel in _it.product((0, 1), repeat=3):
+        corner = base + jnp.asarray(sel, jnp.int32)
+        inb = jnp.all((corner >= 0) & (corner < size), axis=-1)
+        c = jnp.clip(corner, 0, jnp.asarray([D - 1, H - 1, W - 1]))
+        idx = (c[:, 0] * H + c[:, 1]) * W + c[:, 2]
+        w = (
+            (w1[:, 0] if sel[0] else w0[:, 0])
+            * (w1[:, 1] if sel[1] else w0[:, 1])
+            * (w1[:, 2] if sel[2] else w0[:, 2])
+        )
+        out = out + flat[idx] * (w * inb.astype(vol.dtype))[:, None]
+    return out
+
+
 def trilinear_dense_gather(vol, pos, dyn_size=None):
     """Trilinear sample of a dense scalar volume at absolute voxel
     positions, with an optional *dynamic* valid extent (the per-frame out_sh

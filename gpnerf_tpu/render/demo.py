@@ -36,7 +36,6 @@ import jax.numpy as jnp
 from gpnerf_tpu.models.heads import fused_mean_variance
 from gpnerf_tpu.models.sparse_net import occupancy_volume
 from gpnerf_tpu.ops.compositing import composite_scattered
-from gpnerf_tpu.ops.grid_sample import trilinear_dense_gather
 from gpnerf_tpu.ops.projection import project_and_gather
 from gpnerf_tpu.ops.rays import pixel_rays, ray_aabb_near_far, sample_points, sample_z_vals
 from gpnerf_tpu.registry import register
@@ -57,12 +56,13 @@ class Renderer(BaseRenderer):
     """Adds the progressive full-image path on top of BaseRender."""
 
     def __init__(self, *args, ray_cap=65536, sigma_cap=1048576, rgb_cap=262144,
-                 occupancy_threshold=0.1, **kwargs):
+                 occupancy_threshold=0.1, compute_dtype=None, **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
         self.rgb_cap = int(rgb_cap)
         self.occupancy_threshold = float(occupancy_threshold)
+        self.compute_dtype = compute_dtype  # bf16 halves gather/MXU bytes
         self._demo_jit = None
 
     # ------------------------------------------------------------------
@@ -85,6 +85,21 @@ class Renderer(BaseRenderer):
         )
         masks3d = occupancy_volume(level_feats, grids)  # static level-1 res
         occ = masks3d > self.occupancy_threshold
+        if self.compute_dtype is not None:
+            # per-point stages run reduced precision: gather tables and the
+            # gathered rows halve their HBM traffic
+            level_feats = [f.astype(self.compute_dtype) for f in level_feats]
+            featmaps = featmaps.astype(self.compute_dtype)
+            src_unnorm = src_unnorm.astype(self.compute_dtype)
+        # materialize dense per-level volumes once per frame: the per-point
+        # multi-scale query then gathers rows directly (no index-volume
+        # indirection) — the TPU analog of the reference's `.dense()` cache
+        # in SparseConvNet.encode (SparseConvNet.py:126-143)
+        from gpnerf_tpu.ops.sparse_conv import scatter_dense
+
+        dense_vols = [
+            scatter_dense(level_feats[i], grids[i + 1]) for i in range(4)
+        ]
 
         # occupied voxels -> world points (dense masked; no extraction)
         D1, H1, W1 = masks3d.shape
@@ -142,11 +157,30 @@ class Renderer(BaseRenderer):
         pts = sample_points(rays_o, rays_d, z_vals)  # (ray_cap, S, 3)
         P = self.ray_cap * self.n_samples
 
-        # (5) occupancy cull (:270-283)
+        # (5) occupancy cull (:270-283). The reference keeps points whose
+        # trilinear occupancy sample is > 0, i.e. any corner of the point's
+        # cell is occupied. Equivalent-or-looser single-tap form: one-voxel
+        # dilation of the binary occupancy, nearest-neighbor lookup — 1
+        # scalar gather per point instead of 8 (the cull is conservative:
+        # keeping a superset only adds a few points downstream).
         dhw_vox = self.points_to_dhw_vox(pts, batch)  # (P, 3) level-0 units
         size1 = out_sh // 2
         pos1 = dhw_vox / out_sh.astype(jnp.float32) * (size1 - 1).astype(jnp.float32)
-        sp_feats = trilinear_dense_gather(masks3d, pos1, dyn_size=size1)
+
+        occf = (masks3d > 0).astype(jnp.float32)
+        for ax in range(3):
+            occf = jnp.maximum(
+                occf,
+                jnp.maximum(
+                    jnp.roll(occf, 1, axis=ax), jnp.roll(occf, -1, axis=ax)
+                ),
+            )
+        D1c, H1c, W1c = occf.shape
+        cell = jnp.round(pos1).astype(jnp.int32)
+        inb = jnp.all((cell >= 0) & (cell < size1), axis=-1)
+        cellc = jnp.clip(cell, 0, jnp.asarray([D1c - 1, H1c - 1, W1c - 1]))
+        flat_idx = (cellc[:, 0] * H1c + cellc[:, 1]) * W1c + cellc[:, 2]
+        sp_feats = occf.reshape(-1)[flat_idx] * inb.astype(jnp.float32)
         point_ok = (sp_feats > 0) & jnp.repeat(ray_ok, self.n_samples)
         sig_idx, sig_ok, sig_overflow = _compact(point_ok, self.sigma_cap)
 
@@ -162,8 +196,8 @@ class Renderer(BaseRenderer):
 
         # (6) density (:294-314)
         sigma_feat = apply(
-            lambda m, *a: m.sigmahead.query_sigma_feat(*a),
-            level_feats, grids, dhw_c, out_sh,
+            lambda m, *a: m.sigmahead.query_sigma_feat_dense(*a),
+            dense_vols, dhw_c, out_sh,
         )  # (sigma_cap, 64)
         mean, var = fused_mean_variance(rgb_feat)  # (sigma_cap, 1, C+3)
         num_valid_obs = view_mask.sum(axis=-1, keepdims=True)
@@ -171,7 +205,7 @@ class Renderer(BaseRenderer):
             lambda m, *a: m.rgbhead.density(*a),
             sigma_feat, mean[:, 0], var[:, 0], num_valid_obs,
         )[:, 0]
-        sigma = jnp.where(sig_ok, sigma, 0.0)
+        sigma = jnp.where(sig_ok, sigma.astype(jnp.float32), 0.0)
         alpha = 1.0 - jnp.exp(-sigma)
 
         # (7) alpha cull -> color head (:316-333)
@@ -184,7 +218,7 @@ class Renderer(BaseRenderer):
             rgb_feat[safe_rgb][:, None],
             mean[safe_rgb][:, None],
             var[safe_rgb][:, None],
-        )[:, 0]  # (rgb_cap, 3)
+        )[:, 0].astype(jnp.float32)  # (rgb_cap, 3); composite in f32
 
         # (8) scatter + composite (:334-353)
         hold_alpha = (
@@ -257,8 +291,11 @@ def build_render(cfg):
     """Factory mirroring demo_render.build_render (demo_render.py:635-671)."""
     from gpnerf_tpu.registry import get
 
+    compute_dtype = (
+        jnp.bfloat16 if cfg.tpu.matmul_dtype == "bfloat16" else None
+    )
     encoder = get("encoder", cfg.encoder.file)(cfg)
-    nerfhead = get("head", cfg.head.file)(cfg)
+    nerfhead = get("head", cfg.head.file)(cfg).clone(compute_dtype=compute_dtype)
     mesh_th = (1.0 / cfg.test.mesh_th) if not cfg.head.rgb.use_rgbhead else -1.0
     return Renderer(
         encoder,
@@ -279,6 +316,7 @@ def build_render(cfg):
         ray_cap=cfg.tpu.ray_cap,
         sigma_cap=cfg.tpu.sigma_cap,
         rgb_cap=cfg.tpu.rgb_cap,
+        compute_dtype=compute_dtype,
     )
 
 
