@@ -17,6 +17,17 @@ from gpnerf_tpu.ops.image import bounding_rect, imwrite
 from gpnerf_tpu.ops.ssim import compare_ssim
 
 
+def scatter_rays_to_image(rgb_rows, mask_flat, H, W):
+    """Place per-ray values into the image at the mask pixels (scan order).
+    Rays are padded/truncated to a static cap, so only min(n_rows, n_mask)
+    leading mask pixels are written."""
+    img = np.zeros((H * W, 3))
+    idx = np.flatnonzero(mask_flat.reshape(-1))
+    n = min(len(idx), len(rgb_rows))
+    img[idx[:n]] = rgb_rows[:n]
+    return img.reshape(H, W, 3)
+
+
 class Evaluator:
     def __init__(self, cfg, seq_name):
         self.mse = []
@@ -36,10 +47,8 @@ class Evaluator:
             self.cfg.dataset.W * self.cfg.dataset.ratio
         )
         mask_at_box = mask_at_box.reshape(H, W)
-        img_pred = np.zeros((H, W, 3))
-        img_pred[mask_at_box] = rgb_pred
-        img_gt = np.zeros((H, W, 3))
-        img_gt[mask_at_box] = rgb_gt
+        img_pred = scatter_rays_to_image(rgb_pred, mask_at_box, H, W)
+        img_gt = scatter_rays_to_image(rgb_gt, mask_at_box, H, W)
 
         if self.cfg.test.save_imgs and save:
             img = np.concatenate((img_gt, img_pred), axis=1)
@@ -69,7 +78,7 @@ class Evaluator:
                 self.cfg.dataset.W * self.cfg.dataset.ratio
             )
             mask = np.asarray(batch["mask_at_box"]).reshape(H, W)
-            rgb_pred = np.asarray(output["pred_img"])[mask]
+            rgb_pred = np.asarray(output["pred_img"])[mask][:n]
             rgb_gt = np.asarray(batch["rgb"])[:n]
         else:
             rgb_pred = np.asarray(output["rgb_map"])[:n]

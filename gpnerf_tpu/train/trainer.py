@@ -263,15 +263,19 @@ class Trainer:
     def process_img(pred, batch, W, H):
         """(BaseTrainer.py:284-308): reassemble masked pixels, hstack
         src|gt|pred, halve."""
+        from gpnerf_tpu.train.evaluator import scatter_rays_to_image
+
         mask_at_box = np.asarray(batch["mask_at_box"]).reshape(H, W)
         n = int(np.asarray(batch["n_rays"]))
         if "pred_img" not in pred:
-            pred_img = np.zeros((H, W, 3))
-            pred_img[mask_at_box] = np.asarray(pred["rgb_map"])[:n, :3]
+            pred_img = scatter_rays_to_image(
+                np.asarray(pred["rgb_map"])[:n, :3], mask_at_box, H, W
+            )
         else:
             pred_img = np.asarray(pred["pred_img"])
-        gt_img = np.zeros((H, W, 3))
-        gt_img[mask_at_box] = np.asarray(batch["rgb"])[:n, :3]
+        gt_img = scatter_rays_to_image(
+            np.asarray(batch["rgb"])[:n, :3], mask_at_box, H, W
+        )
 
         src_imgs = np.asarray(batch["src_imgs"]) * 0.5 + 0.5  # (V, H, W, 3)
         vis = np.hstack([*src_imgs, gt_img, pred_img])
