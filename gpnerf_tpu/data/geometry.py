@@ -86,7 +86,19 @@ def get_bound_2d_mask(bounds, K, RT, H, W):
 def get_near_far(bounds, ray_o, ray_d):
     """Ray/AABB slab intersection requiring exactly 2 hits, with the
     negative-direction sign handling for THuman (data_utils.py:96-130).
-    Returns near, far (only for mask_at_box rays), mask_at_box (all rays)."""
+    Returns near, far (only for mask_at_box rays), mask_at_box (all rays).
+
+    Dispatches to the native C++ kernel when built (gpnerf_tpu.native) —
+    ~10x faster on full-image ray sets; this numpy path is the reference
+    implementation and fallback."""
+    from gpnerf_tpu import native
+
+    if native.available():
+        return native.near_far(bounds, ray_o, ray_d)
+    return _get_near_far_np(bounds, ray_o, ray_d)
+
+
+def _get_near_far_np(bounds, ray_o, ray_d):
     bounds = bounds + np.array([-0.01, 0.01])[:, None]
     ray_d = ray_d.copy()
     nominator = bounds[None] - ray_o[:, None]

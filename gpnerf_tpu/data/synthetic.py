@@ -128,7 +128,7 @@ def body_pose(frame_index):
 
 def splat_render(world_pts, colors, K, R, T, img_hw, radius=3):
     """Z-buffered point-splat render. Returns img float32 [0,1] (H,W,3) and
-    uint8 mask."""
+    uint8 mask. Uses the native C++ kernel when built."""
     H, W = img_hw
     cam = world_pts @ R.T + T.reshape(1, 3)
     z = cam[:, 2]
@@ -137,6 +137,14 @@ def splat_render(world_pts, colors, K, R, T, img_hw, radius=3):
     pix = pix[:, :2] / np.maximum(pix[:, 2:], 1e-9)
     px = np.round(pix[:, 0]).astype(np.int64)
     py = np.round(pix[:, 1]).astype(np.int64)
+
+    from gpnerf_tpu import native
+
+    if native.available():
+        return native.zsplat(
+            px.astype(np.float64), py.astype(np.float64), z,
+            np.ascontiguousarray(colors, np.float32), radius, (H, W),
+        )
 
     offs = np.arange(-radius, radius + 1)
     oy, ox = np.meshgrid(offs, offs, indexing="ij")
