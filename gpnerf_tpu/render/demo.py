@@ -66,7 +66,10 @@ class Renderer(BaseRenderer):
         self._demo_jit = None
 
     # ------------------------------------------------------------------
-    def _demo_impl(self, variables, batch):
+    def _demo_impl(self, variables, batch, stop_stage=None):
+        """stop_stage (static): 'volume' | 'rays' | 'cull' | 'sigma' | None —
+        truncate the pipeline for stage profiling (returns a checksum that
+        forces the intermediates)."""
         neg_ray = self.neg_ray_val
         head_vars = variables["head"]
         apply = lambda method, *a: self.nerfhead.apply(head_vars, *a, method=method)
@@ -100,6 +103,8 @@ class Renderer(BaseRenderer):
         dense_vols = [
             scatter_dense(level_feats[i], grids[i + 1]) for i in range(4)
         ]
+        if stop_stage == "volume":
+            return {"dbg": sum(v.sum() for v in dense_vols) + masks3d.sum()}
 
         # occupied voxels -> world points (dense masked; no extraction)
         D1, H1, W1 = masks3d.shape
@@ -156,6 +161,8 @@ class Renderer(BaseRenderer):
         z_vals = sample_z_vals(near, far, self.n_samples, perturb=False)
         pts = sample_points(rays_o, rays_d, z_vals)  # (ray_cap, S, 3)
         P = self.ray_cap * self.n_samples
+        if stop_stage == "rays":
+            return {"dbg": pts.sum() + ray_ok.sum()}
 
         # (5) occupancy cull (:270-283). The reference keeps points whose
         # trilinear occupancy sample is > 0, i.e. any corner of the point's
@@ -193,6 +200,8 @@ class Renderer(BaseRenderer):
         rgb_feat, view_mask = project_and_gather(
             pts_c, pre["KE"], src_unnorm, featmaps, Hsrc, Wsrc, neg_ray=neg_ray
         )  # (sigma_cap, V, C+3), (sigma_cap, V)
+        if stop_stage == "cull":
+            return {"dbg": rgb_feat.sum().astype(jnp.float32) + view_mask.sum()}
 
         # (6) density (:294-314)
         sigma_feat = apply(
@@ -207,6 +216,8 @@ class Renderer(BaseRenderer):
         )[:, 0]
         sigma = jnp.where(sig_ok, sigma.astype(jnp.float32), 0.0)
         alpha = 1.0 - jnp.exp(-sigma)
+        if stop_stage == "sigma":
+            return {"dbg": alpha.sum()}
 
         # (7) alpha cull -> color head (:316-333)
         rgb_sel, rgb_ok, rgb_overflow = _compact(
