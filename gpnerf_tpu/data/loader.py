@@ -216,22 +216,49 @@ def build_batchsampler(cfg, dataset, is_distributed, batch_size, is_train,
 
 
 class DataLoader:
-    """Synchronous loader: yields one frame-batch (dict of numpy arrays) per
-    index; index batches of size 1 are unwrapped."""
+    """Loader yielding one frame-batch (dict of numpy arrays) per index;
+    index batches of size 1 are unwrapped. `prefetch` > 0 overlaps
+    __getitem__ with device compute on a background thread (the reference
+    uses torch DataLoader worker processes, cfg.workers; a thread suffices
+    here because the heavy ops release the GIL in numpy/PIL/C++)."""
 
-    def __init__(self, dataset, batch_sampler):
+    def __init__(self, dataset, batch_sampler, prefetch=2):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
+        self.prefetch = prefetch
+
+    def _fetch(self, idx):
+        if isinstance(idx, list):
+            if len(idx) == 1:
+                return self.dataset[idx[0]]
+            return [self.dataset[i] for i in idx]
+        return self.dataset[idx]
 
     def __iter__(self):
-        for idx in self.batch_sampler:
-            if isinstance(idx, list):
-                if len(idx) == 1:
-                    yield self.dataset[idx[0]]
-                else:
-                    yield [self.dataset[i] for i in idx]
-            else:
-                yield self.dataset[idx]
+        if not self.prefetch:
+            for idx in self.batch_sampler:
+                yield self._fetch(idx)
+            return
+        import queue
+        import threading
+
+        q = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for idx in self.batch_sampler:
+                    q.put(self._fetch(idx))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
 
     def __len__(self):
         return len(self.batch_sampler)

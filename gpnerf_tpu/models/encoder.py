@@ -25,22 +25,26 @@ from gpnerf_tpu.ops.upsample import upsample_bilinear_nhwc
 
 
 class BasicBlock(nn.Module):
-    """UNet.py:17-54 with InstanceNorm."""
+    """UNet.py:17-54 with InstanceNorm. `dtype` is the conv compute dtype
+    (InstanceNorm statistics always reduce in float32)."""
 
     planes: int
     stride: int = 1
     has_downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = ReflectConv(self.planes, 3, self.stride, name="conv1")(x)
+        out = ReflectConv(self.planes, 3, self.stride, dtype=self.dtype, name="conv1")(x)
         out = InstanceNorm(name="bn1")(out)
         out = nn.relu(out)
-        out = ReflectConv(self.planes, 3, 1, name="conv2")(out)
+        out = ReflectConv(self.planes, 3, 1, dtype=self.dtype, name="conv2")(out)
         out = InstanceNorm(name="bn2")(out)
         if self.has_downsample:
-            identity = ReflectConv(self.planes, 1, self.stride, name="ds_conv")(x)
+            identity = ReflectConv(
+                self.planes, 1, self.stride, dtype=self.dtype, name="ds_conv"
+            )(x)
             identity = InstanceNorm(name="ds_norm")(identity)
         return nn.relu(out + identity)
 
@@ -51,21 +55,29 @@ class ConvINElu(nn.Module):
 
     features: int
     kernel_size: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         x = ReflectConv(
-            self.features, self.kernel_size, 1, use_bias=True, name="conv"
+            self.features, self.kernel_size, 1, use_bias=True, dtype=self.dtype,
+            name="conv",
         )(x)
         x = InstanceNorm(name="bn")(x)
         return nn.elu(x)
 
 
 class ResUNet(nn.Module):
-    """Input (V, H, W, 3) normalized images; output (V, H/4, W/4, out_ch)."""
+    """Input (V, H, W, 3) normalized images; output (V, H/4, W/4, out_ch).
+
+    compute_dtype=bfloat16 runs all convolutions on the MXU in bf16 (params
+    float32; InstanceNorm statistics float32) — the reference trains from
+    scratch with no pretrained weights, so inference-time bf16 convs are a
+    pure speed/precision trade gated by cfg.tpu.matmul_dtype."""
 
     out_ch: int = 32
     encoder: str = "resnet34"
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -74,19 +86,22 @@ class ResUNet(nn.Module):
             "(UNet.py:154 hard-codes BasicBlock)"
         )
         layers = [3, 4, 6, 3] if self.encoder == "resnet34" else [2, 2, 2, 2]
+        dt = self.compute_dtype
 
         # stem: 7x7 s2 reflect conv, IN, relu (UNet.py:160-162)
         x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding="VALID", use_bias=False,
-                    name="conv1")(x)
+                    dtype=dt, name="conv1")(x)
         x = nn.relu(InstanceNorm(name="bn1")(x))
 
         def stage(x, planes, blocks, name):
             # stride-2 stage start always carries a 1x1 downsample projection
             # (UNet.py:183-189: created when stride != 1)
-            x = BasicBlock(planes, stride=2, has_downsample=True, name=f"{name}_0")(x)
+            x = BasicBlock(
+                planes, stride=2, has_downsample=True, dtype=dt, name=f"{name}_0"
+            )(x)
             for b in range(1, blocks):
-                x = BasicBlock(planes, name=f"{name}_{b}")(x)
+                x = BasicBlock(planes, dtype=dt, name=f"{name}_{b}")(x)
             return x
 
         x1 = stage(x, 64, layers[0], "layer1")  # H/4, 64
@@ -95,16 +110,18 @@ class ResUNet(nn.Module):
 
         # decoder (UNet.py:170-177, 217-234)
         y = upsample_bilinear_nhwc(x3, 2)
-        y = ConvINElu(128, name="upconv3")(y)
+        y = ConvINElu(128, dtype=dt, name="upconv3")(y)
         assert y.shape[1:3] == x2.shape[1:3]
-        y = ConvINElu(128, name="iconv3")(jnp.concatenate([x2, y], axis=-1))
+        y = ConvINElu(128, dtype=dt, name="iconv3")(jnp.concatenate([x2, y], axis=-1))
 
         y = upsample_bilinear_nhwc(y, 2)
-        y = ConvINElu(64, name="upconv2")(y)
+        y = ConvINElu(64, dtype=dt, name="upconv2")(y)
         assert y.shape[1:3] == x1.shape[1:3]
-        y = ConvINElu(self.out_ch, name="iconv2")(jnp.concatenate([x1, y], axis=-1))
+        y = ConvINElu(self.out_ch, dtype=dt, name="iconv2")(
+            jnp.concatenate([x1, y], axis=-1)
+        )
 
-        return nn.Conv(self.out_ch, (1, 1), use_bias=True, name="out_conv")(y)
+        return nn.Conv(self.out_ch, (1, 1), use_bias=True, dtype=dt, name="out_conv")(y)
 
 
 def build_encoder(cfg):

@@ -53,6 +53,7 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x):  # (N, H, W, C)
         C = x.shape[-1]
+        x = x.astype(jnp.float32)  # statistics always reduce in f32
         mean = jnp.mean(x, axis=(1, 2), keepdims=True)
         var = jnp.var(x, axis=(1, 2), keepdims=True)
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)

@@ -305,7 +305,9 @@ def build_render(cfg):
     compute_dtype = (
         jnp.bfloat16 if cfg.tpu.matmul_dtype == "bfloat16" else None
     )
-    encoder = get("encoder", cfg.encoder.file)(cfg)
+    encoder = get("encoder", cfg.encoder.file)(cfg).clone(
+        compute_dtype=compute_dtype
+    )
     nerfhead = get("head", cfg.head.file)(cfg).clone(compute_dtype=compute_dtype)
     mesh_th = (1.0 / cfg.test.mesh_th) if not cfg.head.rgb.use_rgbhead else -1.0
     return Renderer(
