@@ -49,26 +49,37 @@ def main():
 
     variables = render.init_variables(jax.random.PRNGKey(0), host_batches[0])
 
-    # warm BatchNorm running statistics so eval-mode activations (and the
-    # occupancy culling) behave like a trained model's
-    batch0 = {k: jnp.asarray(v) for k, v in host_batches[0].items()}
-    featmaps = render.encoder.apply(variables["encoder"], batch0["src_imgs"])
-    pre = render.prepare_frame(batch0, featmaps)
-    warm = jax.jit(
-        lambda hv: render.nerfhead.apply(
-            hv,
-            pre["smpl_feat"],
-            pre["vertex_rows"],
-            pre["grids"],
-            train=True,
-            method=lambda m, *a, **k: m.volume(*a, **k),
-            mutable=["batch_stats"],
-        )[1]
-    )
-    hv = variables["head"]
-    for _ in range(25):
-        hv = {"params": hv["params"], **warm(hv)}
-    variables = {"encoder": variables["encoder"], "head": hv}
+    import os
+
+    ckpt_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "artifacts", "bench_ckpt.pth")
+    if os.path.exists(ckpt_path):
+        # trained weights: realistic occupancy field -> realistic culling
+        from gpnerf_tpu.train.checkpoint import load_eval_model
+
+        variables = load_eval_model(ckpt_path, variables, cfg.head.sigma.n_layers)
+        print(f"# loaded {ckpt_path}", file=sys.stderr)
+    else:
+        # warm BatchNorm running statistics so eval-mode activations (and
+        # the occupancy culling) behave like a trained model's
+        batch0 = {k: jnp.asarray(v) for k, v in host_batches[0].items()}
+        featmaps = render.encoder.apply(variables["encoder"], batch0["src_imgs"])
+        pre = render.prepare_frame(batch0, featmaps)
+        warm = jax.jit(
+            lambda hv: render.nerfhead.apply(
+                hv,
+                pre["smpl_feat"],
+                pre["vertex_rows"],
+                pre["grids"],
+                train=True,
+                method=lambda m, *a, **k: m.volume(*a, **k),
+                mutable=["batch_stats"],
+            )[1]
+        )
+        hv = variables["head"]
+        for _ in range(25):
+            hv = {"params": hv["params"], **warm(hv)}
+        variables = {"encoder": variables["encoder"], "head": hv}
 
     fn = render.render_demo_fn()
     dev_batches = [

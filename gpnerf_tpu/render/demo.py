@@ -189,7 +189,15 @@ class Renderer(BaseRenderer):
         flat_idx = (cellc[:, 0] * H1c + cellc[:, 1]) * W1c + cellc[:, 2]
         sp_feats = occf.reshape(-1)[flat_idx] * inb.astype(jnp.float32)
         point_ok = (sp_feats > 0) & jnp.repeat(ray_ok, self.n_samples)
-        sig_idx, sig_ok, sig_overflow = _compact(point_ok, self.sigma_cap)
+        # compact in SAMPLE-major order: if the capacity overflows, the
+        # dropped points are the farthest samples uniformly across rays
+        # (graceful degradation) instead of whole image regions (scan-order
+        # truncation would cut the bottom of the body off)
+        point_ok_t = point_ok.reshape(self.ray_cap, self.n_samples).T.reshape(-1)
+        sig_idx_t, sig_ok, sig_overflow = _compact(point_ok_t, self.sigma_cap)
+        s_of = jnp.minimum(sig_idx_t, P - 1) // self.ray_cap
+        r_of = jnp.minimum(sig_idx_t, P - 1) % self.ray_cap
+        sig_idx = jnp.where(sig_ok, r_of * self.n_samples + s_of, P)
 
         safe_sig = jnp.minimum(sig_idx, P - 1)
         pts_c = pts.reshape(P, 3)[safe_sig]
