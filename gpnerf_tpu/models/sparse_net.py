@@ -166,10 +166,15 @@ class SparseConvNet(nn.Module):
         return self.query(level_feats, grids, dhw_vox, out_sh_dyn)
 
 
-def occupancy_volume(level_feats, grids: List[SparseGrid]):
+def occupancy_volume(level_feats, grids: List[SparseGrid], *, levels=None):
     """The demo renderer's `masks3d` (SparseConvNet.encode,
     SparseConvNet.py:126-143): per-level channel-sums, nearest-upsampled to
     the level-1 (first downsampled) resolution and summed.
+
+    `levels` restricts which levels contribute (default: all, the reference
+    semantics). The coarse levels blanket 8^3/16^3 level-1 blocks, dilating
+    the occupied field by ~8 cm — `levels=(0,)` (level-1 only) gives a tight
+    body-surface field for the optional fast cull.
 
     Returns (D1, H1, W1) float volume at level-1 resolution; occupied voxel
     world recovery uses coord * 2.0 level-0 units (the reference's
@@ -177,7 +182,8 @@ def occupancy_volume(level_feats, grids: List[SparseGrid]):
     """
     D1, H1, W1 = grids[1].shape
     total = jnp.zeros((D1, H1, W1), dtype=level_feats[0].dtype)
-    for i in range(len(level_feats)):
+    use = range(len(level_feats)) if levels is None else levels
+    for i in use:
         vol = scatter_channel_sum(level_feats[i], grids[i + 1])
         for _ in range(i):  # nearest-upsample by 2 per extra level
             vol = (

@@ -56,13 +56,20 @@ class Renderer(BaseRenderer):
     """Adds the progressive full-image path on top of BaseRender."""
 
     def __init__(self, *args, ray_cap=65536, sigma_cap=1048576, rgb_cap=262144,
-                 occupancy_threshold=0.1, compute_dtype=None, **kwargs):
+                 occupancy_threshold=0.1, compute_dtype=None, tight_cull=False,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
         self.rgb_cap = int(rgb_cap)
         self.occupancy_threshold = float(occupancy_threshold)
         self.compute_dtype = compute_dtype  # bf16 halves gather/MXU bytes
+        # tight_cull: cull samples against the level-1-only occupancy (body
+        # surface +-1 voxel) instead of the reference's sum-over-levels field
+        # whose coarse levels blanket ~8 cm around the body. Points outside
+        # the tight field have near-zero trained density, so this trades a
+        # negligible metric delta for ~5x fewer density evaluations.
+        self.tight_cull = bool(tight_cull)
         self._demo_jit = None
 
     # ------------------------------------------------------------------
@@ -174,7 +181,11 @@ class Renderer(BaseRenderer):
         size1 = out_sh // 2
         pos1 = dhw_vox / out_sh.astype(jnp.float32) * (size1 - 1).astype(jnp.float32)
 
-        occf = (masks3d > 0).astype(jnp.float32)
+        if self.tight_cull:
+            cull_vol = occupancy_volume(level_feats, grids, levels=(0,))
+        else:
+            cull_vol = masks3d
+        occf = (cull_vol > 0).astype(jnp.float32)
         for ax in range(3):
             occf = jnp.maximum(
                 occf,
@@ -338,6 +349,7 @@ def build_render(cfg):
         sigma_cap=cfg.tpu.sigma_cap,
         rgb_cap=cfg.tpu.rgb_cap,
         compute_dtype=compute_dtype,
+        tight_cull=cfg.tpu.tight_cull,
     )
 
 

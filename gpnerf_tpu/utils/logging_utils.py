@@ -13,6 +13,41 @@ import os
 import time
 
 
+def write_dict_to_json(mydict, f_path):
+    """(utils.py:184-218): persist a metrics dict as JSON."""
+    import numpy as np
+
+    def default(o):
+        if isinstance(o, (np.integer,)):
+            return int(o)
+        if isinstance(o, (np.floating,)):
+            return float(o)
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        raise TypeError(type(o))
+
+    with open(f_path, "w") as f:
+        json.dump(mydict, f, indent=2, default=default)
+
+
+def get_sha():
+    """(misc.py:266-283): git state string for log headers."""
+    import subprocess
+
+    cwd = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    def _run(cmd):
+        return subprocess.check_output(cmd, cwd=cwd).decode("ascii").strip()
+
+    try:
+        sha = _run(["git", "rev-parse", "HEAD"])
+        diff = "has uncommitted changes" if _run(["git", "diff-index", "HEAD"]) else "clean"
+        branch = _run(["git", "rev-parse", "--abbrev-ref", "HEAD"])
+        return f"sha: {sha}, status: {diff}, branch: {branch}"
+    except Exception:
+        return "sha: N/A"
+
+
 def create_logger(cfg, rank=0, phase="train"):
     time_str = time.strftime("%Y-%m-%d-%H-%M")
     log_dir = os.path.join("work_dirs", cfg.output_dir.strip("/"), time_str)
