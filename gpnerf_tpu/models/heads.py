@@ -64,7 +64,9 @@ class NeRFSigmaHead(nn.Module):
             sum_residual=False,
         )
         self.xyzc_net = SparseConvNet(
-            n_layers=self.spconv_n_layers, out_dim=tuple(self.spconv_out_dim)
+            n_layers=self.spconv_n_layers,
+            out_dim=tuple(self.spconv_out_dim),
+            compute_dtype=self.compute_dtype,
         )
         self.out_geometry_fc = MLP(
             (64,), ("elu",), dtype=self.compute_dtype, name="out_geometry_fc"

@@ -61,6 +61,7 @@ class _DoubleConv(nn.Module):
     """SubM k3 + BN + ReLU, twice (SparseConvNet.py:33-49)."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, grid: SparseGrid, *, train: bool):
@@ -71,7 +72,7 @@ class _DoubleConv(nn.Module):
                 nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
                 (27, ci if j == 0 else self.features, self.features),
             )
-            x = subm_conv3x3(x, grid, w)
+            x = subm_conv3x3(x, grid, w, compute_dtype=self.dtype)
             x = MaskedBatchNorm(name=f"bn{j}")(
                 x, grid.valid, use_running_average=not train
             )
@@ -83,6 +84,7 @@ class _StrideConv(nn.Module):
     """SparseConv3d k3 s2 p1 + BN + ReLU (SparseConvNet.py:78-87)."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, in_grid: SparseGrid, out_grid: SparseGrid, *, train: bool):
@@ -91,16 +93,18 @@ class _StrideConv(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (27, x.shape[-1], self.features),
         )
-        x = stride_conv3x3(x, in_grid, out_grid, w)
+        x = stride_conv3x3(x, in_grid, out_grid, w, compute_dtype=self.dtype)
         x = MaskedBatchNorm(name="bn")(x, out_grid.valid, use_running_average=not train)
         return nn.relu(x)
 
 
 class SparseConvNet(nn.Module):
-    """n_layers=4 levels; out_dim=[32, 32, 32, 32] (trainhead.py:37-38)."""
+    """n_layers=4 levels; out_dim=[32, 32, 32, 32] (trainhead.py:37-38).
+    compute_dtype: conv matmul/gather dtype (BN statistics stay float32)."""
 
     n_layers: int = 4
     out_dim: Sequence[int] = (32, 32, 32, 32)
+    compute_dtype: object = None
 
     @nn.compact
     def features(self, code, grids: List[SparseGrid], *, train: bool):
@@ -108,13 +112,14 @@ class SparseConvNet(nn.Module):
         [(CAP_i, out_dim[i-1]) for levels 1..4]. `code`: (CAP0, in_dim)."""
         assert len(self.out_dim) == self.n_layers
         in_dim = code.shape[-1]
-        x = _DoubleConv(in_dim, name="subm0")(code, grids[0], train=train)
+        dt = self.compute_dtype
+        x = _DoubleConv(in_dim, dtype=dt, name="subm0")(code, grids[0], train=train)
         level_feats = []
         for i in range(self.n_layers):
-            x = _StrideConv(self.out_dim[i], name=f"down{i}")(
+            x = _StrideConv(self.out_dim[i], dtype=dt, name=f"down{i}")(
                 x, grids[i], grids[i + 1], train=train
             )
-            x = _DoubleConv(self.out_dim[i], name=f"subm{i + 1}")(
+            x = _DoubleConv(self.out_dim[i], dtype=dt, name=f"subm{i + 1}")(
                 x, grids[i + 1], train=train
             )
             level_feats.append(x)

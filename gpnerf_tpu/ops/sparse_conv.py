@@ -119,14 +119,14 @@ def subm_conv3x3(feats, grid: SparseGrid, weight, *, compute_dtype=None):
     feats: (CAP, Cin). weight: (27, Cin, Cout). Returns (CAP, Cout).
     """
     cap = feats.shape[0]
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)  # cast BEFORE gather: half traffic
+        weight = weight.astype(compute_dtype)
     nbr_coords = grid.coords[:, None, :] + jnp.asarray(_OFFSETS_3)  # (CAP,27,3)
     nbr_idx = _lookup(grid.index_vol, nbr_coords, grid.shape)  # (CAP, 27)
     gathered = _gather_rows(feats, nbr_idx)  # (CAP, 27, Cin)
     x = gathered.reshape(cap, -1)
     w = weight.reshape(-1, weight.shape[-1])
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
     out = jnp.dot(x, w, preferred_element_type=jnp.float32)
     return jnp.where(grid.valid[:, None], out, 0.0)
 
@@ -191,15 +191,15 @@ def stride_conv3x3(feats, in_grid: SparseGrid, out_grid: SparseGrid, weight,
     feats: (CAP_in, Cin). weight: (27, Cin, Cout). Returns (CAP_out, Cout).
     """
     cap_out = out_grid.coords.shape[0]
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)
+        weight = weight.astype(compute_dtype)
     centers = out_grid.coords * 2  # input-level coords
     nbr_coords = centers[:, None, :] + jnp.asarray(_OFFSETS_3)
     nbr_idx = _lookup(in_grid.index_vol, nbr_coords, in_grid.shape)
     gathered = _gather_rows(feats, nbr_idx)
     x = gathered.reshape(cap_out, -1)
     w = weight.reshape(-1, weight.shape[-1])
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
     out = jnp.dot(x, w, preferred_element_type=jnp.float32)
     return jnp.where(out_grid.valid[:, None], out, 0.0)
 
