@@ -96,23 +96,37 @@ class Trainer:
             sys.exit(0)
 
         params, batch_stats = split_variables(self.variables)
+        # Per-step loss fetches would synchronize host<->device every
+        # iteration (the reference does, BaseTrainer.py:121-127; fine over
+        # PCIe, ruinous over a networked device). Metrics stay on device and
+        # are fetched in one batched sync every print_freq iterations —
+        # including the non-finite-loss abort check, at the same cadence.
+        pending = []
         for data in metric_logger.log_every(train_loader, print_freq, header, self.logger):
             batch = to_device(data)
             self.rng, step_rng = jax.random.split(self.rng)
             params, batch_stats, self.opt_state, metrics = self._step(
                 params, batch_stats, self.opt_state, batch, step_rng
             )
-            loss_value = float(metrics["loss"])
-            if not math.isfinite(loss_value):
-                self.logger.info("Loss is {}, stopping training".format(loss_value))
-                sys.exit(1)
-            lr_now = float(self.lr_schedule(self.iter_count))
-            metric_logger.update(
-                loss=loss_value,
-                lr=lr_now,
-                **{k: float(v) for k, v in metrics.items() if k != "loss"},
-            )
+            pending.append(metrics)
             self.iter_count += 1
+            if len(pending) >= print_freq or (
+                self.iter_count % self.cfg.train.valiter_interval == 0
+            ):
+                fetched = jax.device_get(pending)
+                pending = []
+                for m in fetched:
+                    loss_value = float(m["loss"])
+                    if not math.isfinite(loss_value):
+                        self.logger.info(
+                            "Loss is {}, stopping training".format(loss_value)
+                        )
+                        sys.exit(1)
+                    metric_logger.update(
+                        loss=loss_value,
+                        lr=float(self.lr_schedule(self.iter_count)),
+                        **{k: float(v) for k, v in m.items() if k != "loss"},
+                    )
             if (
                 self.rank == 0
                 and self.iter_count % self.cfg.train.valiter_interval == 0
@@ -124,6 +138,12 @@ class Trainer:
                     self.writer.add_scalar(self.PI, performance, self.iter_count)
                 self.logger.info("Now: {} is {:.4f}".format(self.PI, performance))
 
+        for m in jax.device_get(pending):  # flush the tail
+            metric_logger.update(
+                loss=float(m["loss"]),
+                lr=float(self.lr_schedule(self.iter_count)),
+                **{k: float(v) for k, v in m.items() if k != "loss"},
+            )
         self.variables = merge_variables(params, batch_stats)
         train_stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
         log_stats = {
