@@ -201,6 +201,8 @@ class Renderer(BaseRenderer):
             & inb
             & jnp.repeat(ray_ok, self.n_samples)
         )
+        if stop_stage == "cull_occ":
+            return {"dbg": point_ok.sum()}
         # compact in SAMPLE-major order: if the capacity overflows, the
         # dropped points are the farthest samples uniformly across rays
         # (graceful degradation) instead of whole image regions (scan-order
@@ -217,6 +219,8 @@ class Renderer(BaseRenderer):
         z_of = near[r_of] * (1.0 - t_of) + far[r_of] * t_of
         pts_c = rays_o[r_of] + rays_d[r_of] * z_of[:, None]
         dhw_c = self.points_to_dhw_vox(pts_c, batch)
+        if stop_stage == "cull_compact":
+            return {"dbg": pts_c.sum() + dhw_c.sum()}
 
         # project + gather only for survivors (demo projector.compute :284)
         Hsrc, Wsrc = batch["src_imgs"].shape[1:3]

@@ -65,7 +65,7 @@ def main():
 
     dev = [{k: jnp.asarray(v) for k, v in b.items()} for b in frames]
     prev = 0.0
-    for stage in ("volume", "rays", "cull", "sigma", None):
+    for stage in ("volume", "rays", "cull_occ", "cull_compact", "cull", "sigma", None):
         fn = jax.jit(partial(render._demo_impl, stop_stage=stage))
         jax.block_until_ready(fn(variables, dev[0]))
         ts = []
