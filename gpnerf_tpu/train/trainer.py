@@ -73,8 +73,18 @@ class Trainer:
 
         self.variables = variables
         self.opt_state = opt_state
+        self.dp = 1
         if optimizer is not None:
             self._step = make_train_step(render, criterion, optimizer)
+            want = cfg.tpu.dp_size if cfg.tpu.dp_size > 0 else len(jax.devices())
+            self.dp = max(1, min(want, len(jax.devices())))
+            if self.dp > 1:
+                from gpnerf_tpu.parallel.dp import make_dp_train_step, make_mesh
+
+                self.mesh = make_mesh(self.dp)
+                self._step_dp = make_dp_train_step(
+                    render, criterion, optimizer, self.mesh
+                )
         self.writer = None
         if self.optimizer is not None and rank == 0 and self.log_dir:
             from gpnerf_tpu.utils.logging_utils import ScalarWriter
@@ -103,11 +113,26 @@ class Trainer:
         # including the non-finite-loss abort check, at the same cadence.
         pending = []
         for data in metric_logger.log_every(train_loader, print_freq, header, self.logger):
-            batch = to_device(data)
-            self.rng, step_rng = jax.random.split(self.rng)
-            params, batch_stats, self.opt_state, metrics = self._step(
-                params, batch_stats, self.opt_state, batch, step_rng
-            )
+            if isinstance(data, list):
+                # one frame per device: shard_map DP step (parallel/dp.py)
+                from gpnerf_tpu.parallel.dp import stack_batches
+
+                assert len(data) == self.dp, (
+                    f"loader batch {len(data)} != dp mesh {self.dp}; set "
+                    "tpu.dp_size to match the loader batch size"
+                )
+                batches = {k: jnp.asarray(v) for k, v in stack_batches(data).items()}
+                self.rng, step_rng = jax.random.split(self.rng)
+                rngs = jax.random.split(step_rng, len(data))
+                params, batch_stats, self.opt_state, metrics = self._step_dp(
+                    params, batch_stats, self.opt_state, batches, rngs
+                )
+            else:
+                batch = to_device(data)
+                self.rng, step_rng = jax.random.split(self.rng)
+                params, batch_stats, self.opt_state, metrics = self._step(
+                    params, batch_stats, self.opt_state, batch, step_rng
+                )
             pending.append(metrics)
             self.iter_count += 1
             if len(pending) >= print_freq or (

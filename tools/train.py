@@ -35,6 +35,23 @@ def parse_args():
     return parser.parse_args()
 
 
+def init_multihost():
+    """Multi-host rendezvous (replaces the reference's SLURM-nodelist ->
+    tcp:// NCCL process group, tools/train.py:85-91,116-131). On TPU pods
+    jax.distributed.initialize() autodetects; generic clusters provide
+    GPNERF_COORDINATOR / GPNERF_NUM_PROCESSES / GPNERF_PROCESS_ID (or the
+    SLURM variables jax already understands)."""
+    import jax
+
+    coord = os.environ.get("GPNERF_COORDINATOR")
+    nproc = os.environ.get("GPNERF_NUM_PROCESSES")
+    pid = os.environ.get("GPNERF_PROCESS_ID")
+    if coord and nproc:
+        jax.distributed.initialize(coord, int(nproc), int(pid or 0))
+    elif os.environ.get("SLURM_NTASKS", "1") not in ("", "1"):
+        jax.distributed.initialize()
+
+
 def main():
     args = parse_args()
     update_config(cfg, args)
@@ -43,6 +60,7 @@ def main():
     from gpnerf_tpu.utils.platform import select_platform
 
     select_platform(cfg.device)
+    init_multihost()
 
     import jax
 
@@ -72,8 +90,13 @@ def main():
     train_dataset = build_dataset_tr(cfg, is_train=True)
     eval_dataset = build_dataset_te(cfg, is_train=False)
     is_distributed = world > 1
+    # one frame per local device per optimizer step (img_num_per_gpu=1 per
+    # device, like the reference's DDP; local devices fan out via shard_map)
+    want_dp = cfg.tpu.dp_size if cfg.tpu.dp_size > 0 else len(jax.local_devices())
+    local_dp = max(1, min(want_dp, len(jax.local_devices())))
     train_bs = build_batchsampler(
-        cfg, train_dataset, is_distributed, cfg.dataset.img_num_per_gpu, True,
+        cfg, train_dataset, is_distributed,
+        cfg.dataset.img_num_per_gpu * local_dp, True,
         num_replicas=world, rank=rank,
     )
     eval_bs = build_batchsampler(
