@@ -108,17 +108,21 @@ class ResUNet(nn.Module):
         x2 = stage(x1, 128, layers[1], "layer2")  # H/8, 128
         x3 = stage(x2, 256, layers[2], "layer3")  # H/16, 256
 
-        # decoder (UNet.py:170-177, 217-234)
+        # decoder (UNet.py:170-177, 217-234). Concat order is
+        # [upsampled, skip]: skipconnect(x1, x2) returns cat([x2, x1]) and is
+        # called as skipconnect(skip, upsampled) (UNet.py:205-215, 225-230) —
+        # the channel counts coincide (128+128 / 64+64) so only checkpoint
+        # cross-validation against the real reference module catches a swap.
         y = upsample_bilinear_nhwc(x3, 2)
         y = ConvINElu(128, dtype=dt, name="upconv3")(y)
         assert y.shape[1:3] == x2.shape[1:3]
-        y = ConvINElu(128, dtype=dt, name="iconv3")(jnp.concatenate([x2, y], axis=-1))
+        y = ConvINElu(128, dtype=dt, name="iconv3")(jnp.concatenate([y, x2], axis=-1))
 
         y = upsample_bilinear_nhwc(y, 2)
         y = ConvINElu(64, dtype=dt, name="upconv2")(y)
         assert y.shape[1:3] == x1.shape[1:3]
         y = ConvINElu(self.out_ch, dtype=dt, name="iconv2")(
-            jnp.concatenate([x1, y], axis=-1)
+            jnp.concatenate([y, x1], axis=-1)
         )
 
         return nn.Conv(self.out_ch, (1, 1), use_bias=True, dtype=dt, name="out_conv")(y)

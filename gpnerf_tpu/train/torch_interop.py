@@ -207,6 +207,13 @@ def variables_to_torch_state(variables, n_layers=4) -> Dict[str, np.ndarray]:
         root, rest = path[0], path[1:]
         tree = variables[root][coll]
         state[tk] = _to_torch(_get(tree, rest), kind)
+    # BatchNorm1d bookkeeping counters: torch's strict load (the reference's
+    # inference path, tools/inference.py:70-74) requires them present
+    for tk in list(state):
+        if tk.endswith(".running_mean"):
+            state[tk[: -len("running_mean")] + "num_batches_tracked"] = np.asarray(
+                0, dtype=np.int64
+            )
     return state
 
 

@@ -80,10 +80,10 @@ class TResUNet(nn.Module):
         x3 = self.layer3(x2)
         y = F.interpolate(x3, scale_factor=2, mode="bilinear", align_corners=True)
         y = self.upconv3(y)
-        y = self.iconv3(torch.cat([x2, y], 1))
+        y = self.iconv3(torch.cat([y, x2], 1))  # [upsampled, skip] (UNet.py:205-215)
         y = F.interpolate(y, scale_factor=2, mode="bilinear", align_corners=True)
         y = self.upconv2(y)
-        y = self.iconv2(torch.cat([x1, y], 1))
+        y = self.iconv2(torch.cat([y, x1], 1))
         return self.out_conv(y)
 
 
