@@ -109,7 +109,7 @@ def main():
         )
     )
     print(
-        f"# {dt / n_frames * 1000:.1f} ms/frame; overflows(ray,sigma,rgb)={overflows}; "
+        f"# {dt / n_frames * 1000:.1f} ms/frame; overflows(ray,perrayK,sigma,rgb)={overflows}; "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

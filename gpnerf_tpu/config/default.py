@@ -168,6 +168,12 @@ cfg.tpu.max_out_sh = [96, 384, 384]
 cfg.tpu.ray_cap = 65536
 cfg.tpu.sigma_cap = 524288
 cfg.tpu.rgb_cap = 262144
+# per-ray cap on occupancy-surviving samples (of the reference's 64-sample
+# grid): the progressive renderer keeps each ray's nearest K survivors in a
+# rectangular (ray, K) frame before the global sigma_cap compaction. Trained
+# bodies average ~8 survivors/ray (hollow SMPL shell); overflow drops the
+# farthest (occluded) samples of that ray first and is reported per frame.
+cfg.tpu.samples_per_ray = 24
 # cull against level-1-only occupancy (tight body shell) instead of the
 # reference's sum-over-levels field whose coarse levels blanket ~8 cm around
 # the body. Measured on the trained synthetic model: PSNR 22.07 (tight) vs

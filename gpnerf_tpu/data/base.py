@@ -124,6 +124,8 @@ class HumanNVSDataset:
         mask_bkgd=True,
         voxel_size=(0.005, 0.005, 0.005),
         max_out_sh=(96, 384, 384),
+        site_cap=8192,
+        level_caps=(20480, 10240, 4096, 2048),
         test_ray_cap=65536,
         frame_sampler=False,
         neg_ray=False,
@@ -138,6 +140,8 @@ class HumanNVSDataset:
         self.mask_bkgd = mask_bkgd
         self.voxel_size = np.asarray(voxel_size, np.float32)
         self.max_out_sh = tuple(int(v) for v in max_out_sh)
+        self.site_cap = int(site_cap)
+        self.level_caps = tuple(int(c) for c in level_caps)
         self.test_ray_cap = int(test_ray_cap)
         self.frame_sampler = frame_sampler
         self.neg_ray = neg_ray
@@ -344,6 +348,16 @@ class HumanNVSDataset:
             "img_hw": np.asarray([H, W], np.int32),
         }
         ret.update(padded)
+        # host-built sparse pyramid + conv rulebooks (pure geometry; the
+        # device-side build cost ~50 ms/frame of op dispatch, see
+        # data/sparse_host.py)
+        from gpnerf_tpu.data.sparse_host import build_host_pyramid
+
+        ret.update(
+            build_host_pyramid(
+                coord, self.max_out_sh, self.site_cap, self.level_caps
+            )
+        )
         if self.with_mesh_grid:
             pts = self.mesh_grid(can_bounds)
             ret["pts"] = pts

@@ -206,6 +206,8 @@ def build_dataset(cfg, is_train=True):
         mask_bkgd=cfg.mask_bkgd,
         voxel_size=tuple(cfg.dataset.voxel_size),
         max_out_sh=tuple(cfg.tpu.max_out_sh),
+        site_cap=cfg.tpu.site_cap,
+        level_caps=tuple(cfg.tpu.level_caps),
         test_ray_cap=cfg.tpu.eval_ray_cap,
         frame_sampler=(cfg.dataset.test.sampler == "FrameSampler"),
         neg_ray="thuman" in split_cfg.name,

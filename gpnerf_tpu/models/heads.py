@@ -81,36 +81,42 @@ class NeRFSigmaHead(nn.Module):
         fused, _ = self.xyzc_attn(code_query, smpl_feat, smpl_feat)
         return fused[:, 0, :]
 
-    def volume_features(self, fused_codes, vertex_rows, grids, *, train: bool):
+    def volume_features(self, fused_codes, vertex_rows, levels, *, train: bool):
         """Scatter fused vertex codes onto the voxel active set and run the
         sparse conv stack; returns per-level feature matrices.
 
-        vertex_rows: (CAP0, S) one-hot-free mapping is overkill — instead
-        the caller provides `vertex_rows` as an int32 (CAP0,) index of the
-        winning vertex per active row (-1 for padding), replicating the
-        reference's SparseConvTensor(code, coord, ...) row<->vertex pairing.
+        vertex_rows: int32 (CAP0,) index of the winning vertex per active
+        row (-1 for padding), replicating the reference's
+        SparseConvTensor(code, coord, ...) row<->vertex pairing.
         """
         safe = jnp.maximum(vertex_rows, 0)
         code = fused_codes[safe]
         code = jnp.where((vertex_rows >= 0)[:, None], code, 0.0)
-        return self.xyzc_net.features(code, grids, train=train)
-
-    def query_sigma_feat(self, level_feats, grids, dhw_vox, out_sh_dyn):
-        """Multi-scale gather + Linear(sum(out_dim), 64) + ELU
-        (trainhead.py:39-40,56-58). Returns (P, 64)."""
-        feats = self.xyzc_net.query(level_feats, grids, dhw_vox, out_sh_dyn)
-        return self.out_geometry_fc(feats)
+        return self.xyzc_net.features(code, levels, train=train)
 
     def query_sigma_feat_dense(self, dense_vols, dhw_vox, out_sh_dyn):
-        """Dense-volume variant for large query counts (demo path)."""
+        """Multi-scale trilinear gather against the materialized per-level
+        volumes + Linear(sum(out_dim), 64) + ELU (trainhead.py:39-40,56-58).
+        Returns (P, 64)."""
         feats = self.xyzc_net.query_dense(dense_vols, dhw_vox, out_sh_dyn)
         return self.out_geometry_fc(feats)
 
-    def __call__(self, smpl_feat, vertex_rows, grids, dhw_vox, out_sh_dyn,
+    def query_sigma_feat_octet(self, octet_vols, dhw_vox, out_sh_dyn):
+        """Octet-table variant (demo hot path)."""
+        feats = self.xyzc_net.query_octet(octet_vols, dhw_vox, out_sh_dyn)
+        return self.out_geometry_fc(feats)
+
+    def __call__(self, smpl_feat, vertex_rows, levels, dhw_vox, out_sh_dyn,
                  *, train: bool):
+        from gpnerf_tpu.ops.sparse_conv import scatter_dense
+
         fused = self.fuse_codes(smpl_feat)
-        level_feats = self.volume_features(fused, vertex_rows, grids, train=train)
-        return self.query_sigma_feat(level_feats, grids, dhw_vox, out_sh_dyn)
+        level_feats = self.volume_features(fused, vertex_rows, levels, train=train)
+        dense_vols = [
+            scatter_dense(level_feats[i], levels[i + 1])
+            for i in range(len(level_feats))
+        ]
+        return self.query_sigma_feat_dense(dense_vols, dhw_vox, out_sh_dyn)
 
 
 class NeRFRGBHead(nn.Module):
@@ -188,35 +194,42 @@ class NeRFHead(nn.Module):
             in_feat_ch=self.in_feat_ch, compute_dtype=self.compute_dtype
         )
 
-    def volume(self, smpl_feat, vertex_rows, grids, *, train: bool):
+    def volume(self, smpl_feat, vertex_rows, levels, *, train: bool):
         """Fuse vertex codes and build the sparse feature volume ONCE per
         frame. The reference rebuilds this per ray chunk during training
         (trainhead.py:48-56 runs per render_rays call — 3 redundant builds
         per step at chunk=400); hoisting it out is a free win the demo
         renderer's `encode` already exploits (SURVEY.md §3.1)."""
         fused = self.sigmahead.fuse_codes(smpl_feat)
-        return self.sigmahead.volume_features(fused, vertex_rows, grids, train=train)
+        return self.sigmahead.volume_features(fused, vertex_rows, levels, train=train)
 
-    def point_forward(self, level_feats, grids, dhw_vox, out_sh_dyn, rgb_feat, mask):
-        """Query + MLP heads for one ray chunk.
+    def point_forward(self, dense_vols, dhw_vox, out_sh_dyn, rgb_feat, mask):
+        """Query + MLP heads for one ray chunk, against the dense per-level
+        feature volumes materialized once per frame (numerically identical
+        to the reference's `.dense()` + grid_sample, SparseConvNet.py:105-124).
 
         dhw_vox: (N_rays*N_samples, 3); rgb_feat: (N_rays, N_samples, V, C+3).
         Returns (raw (N_rays, N_samples, 4), rgb_in)."""
         n_rays, n_samples = rgb_feat.shape[:2]
-        sigma_feat = self.sigmahead.query_sigma_feat(
-            level_feats, grids, dhw_vox, out_sh_dyn
+        sigma_feat = self.sigmahead.query_sigma_feat_dense(
+            dense_vols, dhw_vox, out_sh_dyn
         ).reshape(n_rays, n_samples, -1)
         rgb_in, rgb, sigma = self.rgbhead(rgb_feat, sigma_feat, mask)
         raw = jnp.concatenate([rgb, sigma], axis=-1)
         return raw, rgb_in
 
-    def __call__(self, smpl_feat, vertex_rows, grids, dhw_vox, out_sh_dyn,
+    def __call__(self, smpl_feat, vertex_rows, levels, dhw_vox, out_sh_dyn,
                  rgb_feat, mask, *, train: bool):
-        """Full forward over one frame's query points (volume built once)."""
-        level_feats = self.volume(smpl_feat, vertex_rows, grids, train=train)
-        return self.point_forward(
-            level_feats, grids, dhw_vox, out_sh_dyn, rgb_feat, mask
-        )
+        """Full forward over one frame's query points (volume built once,
+        dense per-level volumes materialized once)."""
+        from gpnerf_tpu.ops.sparse_conv import scatter_dense
+
+        level_feats = self.volume(smpl_feat, vertex_rows, levels, train=train)
+        dense_vols = [
+            scatter_dense(level_feats[i], levels[i + 1])
+            for i in range(len(level_feats))
+        ]
+        return self.point_forward(dense_vols, dhw_vox, out_sh_dyn, rgb_feat, mask)
 
 
 def build_head(cfg):

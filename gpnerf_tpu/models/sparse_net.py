@@ -30,12 +30,12 @@ import jax.numpy as jnp
 from gpnerf_tpu.models.layers import MaskedBatchNorm
 from gpnerf_tpu.ops.sparse_conv import (
     SparseGrid,
+    SparseLevel,
     build_sparse_grid,
     scatter_channel_sum,
     stride_active_set,
-    stride_conv3x3,
-    subm_conv3x3,
-    trilinear_sparse_gather,
+    stride_conv_tbl,
+    subm_conv_tbl,
 )
 
 
@@ -58,13 +58,15 @@ def build_grid_pyramid(
 
 
 class _DoubleConv(nn.Module):
-    """SubM k3 + BN + ReLU, twice (SparseConvNet.py:33-49)."""
+    """SubM k3 + BN + ReLU, twice (SparseConvNet.py:33-49). Runs through the
+    level's precomputed neighbor table (one gather + one MXU matmul per
+    conv)."""
 
     features: int
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, grid: SparseGrid, *, train: bool):
+    def __call__(self, x, level: SparseLevel, *, train: bool):
         cin = x.shape[-1]
         for j, ci in enumerate((cin, self.features)):
             w = self.param(
@@ -72,9 +74,9 @@ class _DoubleConv(nn.Module):
                 nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
                 (27, ci if j == 0 else self.features, self.features),
             )
-            x = subm_conv3x3(x, grid, w, compute_dtype=self.dtype)
+            x = subm_conv_tbl(x, level, w, compute_dtype=self.dtype)
             x = MaskedBatchNorm(name=f"bn{j}")(
-                x, grid.valid, use_running_average=not train
+                x, level.valid, use_running_average=not train
             )
             x = nn.relu(x)
         return x
@@ -87,14 +89,14 @@ class _StrideConv(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, in_grid: SparseGrid, out_grid: SparseGrid, *, train: bool):
+    def __call__(self, x, level: SparseLevel, *, train: bool):
         w = self.param(
             "w",
             nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
             (27, x.shape[-1], self.features),
         )
-        x = stride_conv3x3(x, in_grid, out_grid, w, compute_dtype=self.dtype)
-        x = MaskedBatchNorm(name="bn")(x, out_grid.valid, use_running_average=not train)
+        x = stride_conv_tbl(x, level, w, compute_dtype=self.dtype)
+        x = MaskedBatchNorm(name="bn")(x, level.valid, use_running_average=not train)
         return nn.relu(x)
 
 
@@ -107,49 +109,36 @@ class SparseConvNet(nn.Module):
     compute_dtype: object = None
 
     @nn.compact
-    def features(self, code, grids: List[SparseGrid], *, train: bool):
+    def features(self, code, levels: List[SparseLevel], *, train: bool):
         """Run the conv stack; return per-level feature matrices
         [(CAP_i, out_dim[i-1]) for levels 1..4]. `code`: (CAP0, in_dim)."""
         assert len(self.out_dim) == self.n_layers
         in_dim = code.shape[-1]
         dt = self.compute_dtype
-        x = _DoubleConv(in_dim, dtype=dt, name="subm0")(code, grids[0], train=train)
+        x = _DoubleConv(in_dim, dtype=dt, name="subm0")(code, levels[0], train=train)
         level_feats = []
         for i in range(self.n_layers):
             x = _StrideConv(self.out_dim[i], dtype=dt, name=f"down{i}")(
-                x, grids[i], grids[i + 1], train=train
+                x, levels[i + 1], train=train
             )
             x = _DoubleConv(self.out_dim[i], dtype=dt, name=f"subm{i + 1}")(
-                x, grids[i + 1], train=train
+                x, levels[i + 1], train=train
             )
             level_feats.append(x)
         return level_feats
 
-    def query(self, level_feats, grids, dhw_vox, out_sh_dyn):
-        """Multi-scale trilinear query (SparseConvNet.forward's
-        grid_sample concat, SparseConvNet.py:105-124).
+    def query_octet(self, octet_vols, dhw_vox, out_sh_dyn):
+        """Multi-scale trilinear query through packed octet tables
+        (ops.grid_sample.build_octet_table_3d): one row-gather per (point,
+        level) instead of eight."""
+        from gpnerf_tpu.ops.grid_sample import trilinear_octet_rows
 
-        Args:
-          level_feats: the 4 per-level feature matrices from `features`.
-          grids: the grid pyramid (5 entries; levels 1..4 used).
-          dhw_vox: (P, 3) query positions in level-0 input voxel units
-            (float, already (dhw - min_dhw) / voxel_size).
-          out_sh_dyn: (3,) per-frame dynamic out_sh (the reference
-            normalizes grid coords by it: BaseRender.py:62-73).
-
-        Returns: (P, sum(out_dim)) concatenated features.
-        """
         outs = []
         frac = dhw_vox / out_sh_dyn.astype(dhw_vox.dtype)
         for i in range(self.n_layers):
             size = out_sh_dyn // (2 ** (i + 1))
-            # grid_sample align_corners unnormalization: pos = frac*(size-1)
             pos = frac * (size - 1).astype(dhw_vox.dtype)
-            outs.append(
-                trilinear_sparse_gather(
-                    level_feats[i], grids[i + 1], pos, dyn_size=size
-                )
-            )
+            outs.append(trilinear_octet_rows(octet_vols[i], pos, size))
         return jnp.concatenate(outs, axis=-1)
 
     def query_dense(self, dense_vols, dhw_vox, out_sh_dyn):
@@ -166,9 +155,7 @@ class SparseConvNet(nn.Module):
             outs.append(trilinear_dense_rows(dense_vols[i], pos, dyn_size=size))
         return jnp.concatenate(outs, axis=-1)
 
-    def __call__(self, code, grids, dhw_vox, out_sh_dyn, *, train: bool):
-        level_feats = self.features(code, grids, train=train)
-        return self.query(level_feats, grids, dhw_vox, out_sh_dyn)
+
 
 
 def occupancy_volume(level_feats, grids: List[SparseGrid], *, levels=None):

@@ -41,6 +41,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class SparseLevel(NamedTuple):
+    """A static-shape sparse voxel level with PRECOMPUTED conv tables.
+
+    The tables are pure geometry (functions of the frame's voxel coords) and
+    are built on the HOST (gpnerf_tpu/data/sparse_host.py) inside the
+    DataLoader workers — on a networked TPU runtime the round-1 device-side
+    pyramid build (scatter/nonzero per level) cost ~50 ms/frame of op
+    dispatch alone. A device-side fallback (`derive_level_tables`) exists
+    for batches without host tables.
+
+    coords: (CAP, 3) int32 dhw voxel coords (padding rows hold the level
+      shape so scatters drop them).
+    valid: (CAP,) bool.
+    nbr: (CAP, 27) int32 same-level 3^3 neighbor row ids (-1 absent) — the
+      submanifold conv rulebook.
+    down: (CAP, 27) int32 row ids into the PARENT (finer) level at
+      2*o + offset — the strided conv rulebook; None at level 0.
+    shape: static (D, H, W) of the level's voxel grid.
+    """
+
+    coords: jnp.ndarray
+    valid: jnp.ndarray
+    nbr: jnp.ndarray
+    down: object  # jnp.ndarray or None at level 0
+    shape: Tuple[int, int, int]
+
+
 class SparseGrid(NamedTuple):
     """A static-shape sparse voxel level.
 
@@ -202,6 +229,58 @@ def stride_conv3x3(feats, in_grid: SparseGrid, out_grid: SparseGrid, weight,
     w = weight.reshape(-1, weight.shape[-1])
     out = jnp.dot(x, w, preferred_element_type=jnp.float32)
     return jnp.where(out_grid.valid[:, None], out, 0.0)
+
+
+def subm_conv_tbl(feats, level: SparseLevel, weight, *, compute_dtype=None):
+    """Submanifold 3x3x3 conv through the precomputed neighbor table
+    (same semantics as `subm_conv3x3`; one gather + one MXU matmul)."""
+    cap = feats.shape[0]
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)
+        weight = weight.astype(compute_dtype)
+    gathered = _gather_rows(feats, level.nbr)  # (CAP, 27, Cin)
+    out = jnp.dot(
+        gathered.reshape(cap, -1),
+        weight.reshape(-1, weight.shape[-1]),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.where(level.valid[:, None], out, 0.0)
+
+
+def stride_conv_tbl(feats_in, level: SparseLevel, weight, *, compute_dtype=None):
+    """Strided sparse conv k=3 s=2 p=1 through `level.down` (same semantics
+    as `stride_conv3x3`)."""
+    cap_out = level.coords.shape[0]
+    if compute_dtype is not None:
+        feats_in = feats_in.astype(compute_dtype)
+        weight = weight.astype(compute_dtype)
+    gathered = _gather_rows(feats_in, level.down)
+    out = jnp.dot(
+        gathered.reshape(cap_out, -1),
+        weight.reshape(-1, weight.shape[-1]),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.where(level.valid[:, None], out, 0.0)
+
+
+def derive_level_tables(grids) -> list:
+    """Device-side fallback: SparseLevels (with conv tables) from a
+    `build_grid_pyramid` result — one lookup per table instead of one per
+    conv. Used when the batch carries no host-built tables."""
+    offsets = jnp.asarray(_OFFSETS_3)
+    levels = []
+    for i, g in enumerate(grids):
+        nbr_coords = g.coords[:, None, :] + offsets
+        nbr = _lookup(g.index_vol, nbr_coords, g.shape)
+        nbr = jnp.where(g.valid[:, None], nbr, -1)
+        down = None
+        if i >= 1:
+            centers = g.coords * 2
+            dn_coords = centers[:, None, :] + offsets
+            down = _lookup(grids[i - 1].index_vol, dn_coords, grids[i - 1].shape)
+            down = jnp.where(g.valid[:, None], down, -1)
+        levels.append(SparseLevel(g.coords, g.valid, nbr, down, g.shape))
+    return levels
 
 
 def trilinear_sparse_gather(feats, grid: SparseGrid, pos, dyn_size=None):

@@ -112,8 +112,9 @@ def make_dp_eval_render(renderer, mesh, axis: str = "dp"):
             train=False,
             method="volume",
         )
+        dense_vols = renderer.materialize_dense(level_feats, pre["grids"])
         out = renderer.render_chunk(
-            variables["head"], level_feats, pre, batch, src_unnorm, featmaps,
+            variables["head"], dense_vols, pre, batch, src_unnorm, featmaps,
             ro, rd, nr, fr, neg_ray=renderer.neg_ray_val, perturb=False,
         )
         return {"rgb_map": out["rgb_map"][None], "acc_map": out["acc_map"][None]}

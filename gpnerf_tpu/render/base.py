@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from gpnerf_tpu.models.sparse_net import build_grid_pyramid
+from gpnerf_tpu.ops.sparse_conv import SparseLevel, derive_level_tables, scatter_dense
 from gpnerf_tpu.ops.compositing import raw2outputs
 from gpnerf_tpu.ops.projection import gather_smpl_features, project_and_gather
 from gpnerf_tpu.ops.rays import sample_points, sample_z_vals
@@ -139,25 +140,56 @@ class Renderer:
             smpl_xyz, KE, featmaps, H, W, neg_ray=neg_ray
         )
 
-        cap = self.site_cap
-        S = xyz_can.shape[0]
-        oob = jnp.asarray(self.max_out_sh, jnp.int32)
-        coords = jnp.full((cap, 3), oob, jnp.int32).at[:S].set(batch["coord"])
-        valid = jnp.arange(cap) < S
-        grids, overflows = build_grid_pyramid(
-            coords, valid, self.max_out_sh, self.level_caps
-        )
-        vertex_rows = jnp.where(jnp.arange(cap) < S, jnp.arange(cap), -1)
+        shapes = self._grid_shapes()
+        if "lvl0_coords" in batch:
+            # host-built pyramid + conv rulebooks (data/sparse_host.py):
+            # the device does zero scatter/nonzero work for grid geometry
+            levels = [
+                SparseLevel(
+                    batch[f"lvl{i}_coords"],
+                    batch[f"lvl{i}_valid"],
+                    batch[f"lvl{i}_nbr"],
+                    batch.get(f"lvl{i}_down"),
+                    shapes[i],
+                )
+                for i in range(5)
+            ]
+            vertex_rows = batch["vertex_rows"]
+            overflows = batch["pyramid_overflows"]
+        else:
+            # device fallback (tiny synthetic batches, unit tests)
+            cap = self.site_cap
+            S = xyz_can.shape[0]
+            oob = jnp.asarray(self.max_out_sh, jnp.int32)
+            coords = jnp.full((cap, 3), oob, jnp.int32).at[:S].set(batch["coord"])
+            valid = jnp.arange(cap) < S
+            grids, overflows = build_grid_pyramid(
+                coords, valid, self.max_out_sh, self.level_caps
+            )
+            # dedup losers must not double-inject codes: build_sparse_grid
+            # marked them invalid
+            valid0 = grids[0].valid
+            vertex_rows = jnp.where(valid0, jnp.arange(cap), -1)
+            levels = derive_level_tables(grids)
         return {
             "KE": KE,
             "smpl_xyz": smpl_xyz,
             "smpl_feat": smpl_feat,
-            "grids": grids,
+            "grids": levels,
             "vertex_rows": vertex_rows,
             "overflows": overflows,
             "out_sh": batch["out_sh"],
             "img_hw": (H, W),
         }
+
+    def materialize_dense(self, level_feats, levels):
+        """Dense per-level feature volumes — the reference's `.dense()`
+        cache (SparseConvNet.encode, SparseConvNet.py:126-143), built once
+        per frame; all queries gather rows from these."""
+        return [
+            scatter_dense(level_feats[i], levels[i + 1])
+            for i in range(len(level_feats))
+        ]
 
     def points_to_dhw_vox(self, pts, batch):
         """World points -> canonical -> level-0 voxel units (dhw), the
@@ -172,7 +204,7 @@ class Renderer:
         return (dhw - min_dhw) / vs
 
     def render_chunk(
-        self, head_vars, level_feats, pre, batch, src_unnorm, featmaps,
+        self, head_vars, dense_vols, pre, batch, src_unnorm, featmaps,
         rays_o, rays_d, near, far, *, neg_ray, perturb, rng=None
     ):
         """One ray chunk through sampling -> gather -> heads -> compositing
@@ -193,8 +225,7 @@ class Renderer:
 
         raw, rgb_in = self.nerfhead.apply(
             head_vars,
-            level_feats,
-            pre["grids"],
+            dense_vols,
             dhw_vox,
             pre["out_sh"],
             rgb_feat,
@@ -233,9 +264,10 @@ class Renderer:
             method="volume",
             mutable=["batch_stats"],
         )
+        dense_vols = self.materialize_dense(level_feats, pre["grids"])
         ret = self.render_chunk(
             {"params": head_vars["params"], **mutated},
-            level_feats, pre, batch, src_unnorm, featmaps,
+            dense_vols, pre, batch, src_unnorm, featmaps,
             batch["ray_o"], batch["ray_d"], batch["near"], batch["far"],
             neg_ray=neg_ray, perturb=True, rng=rng,
         )
@@ -269,10 +301,12 @@ class Renderer:
             n_chunks = ray_cap // chunk
             assert n_chunks * chunk == ray_cap, "eval_ray_cap % eval_chunk != 0"
 
+            dense_vols = self.materialize_dense(level_feats, pre["grids"])
+
             def body(args):
                 ro, rd, nr_, fr_ = args
                 out = self.render_chunk(
-                    variables["head"], level_feats, pre, batch, src_unnorm,
+                    variables["head"], dense_vols, pre, batch, src_unnorm,
                     featmaps, ro, rd, nr_, fr_,
                     neg_ray=neg_ray, perturb=False,
                 )
@@ -320,7 +354,6 @@ class Renderer:
         if getattr(self, "_mesh_jits", None) is not None:
             return self._mesh_jits
         from gpnerf_tpu.models.heads import fused_mean_variance
-        from gpnerf_tpu.ops.sparse_conv import SparseGrid
 
         @jax.jit
         def vol_fn(variables, batch):
@@ -330,20 +363,16 @@ class Renderer:
                 variables["head"], pre["smpl_feat"], pre["vertex_rows"],
                 pre["grids"], train=False, method="volume",
             )
-            parts = [(g.coords, g.valid, g.index_vol) for g in pre["grids"]]
-            return featmaps, pre["KE"], parts, level_feats, pre["out_sh"]
+            dense_vols = self.materialize_dense(level_feats, pre["grids"])
+            return featmaps, pre["KE"], dense_vols, pre["out_sh"]
 
         @jax.jit
-        def chunk_fn(variables, featmaps, KE, parts, level_feats, out_sh,
+        def chunk_fn(variables, featmaps, KE, dense_vols, out_sh,
                      batch, pts):
-            grids = [
-                SparseGrid(c, v, iv, shp)
-                for (c, v, iv), shp in zip(parts, self._grid_shapes())
-            ]
             dhw = self.points_to_dhw_vox(pts, batch)
             sigma_feat = self.nerfhead.apply(
-                variables["head"], level_feats, grids, dhw, out_sh,
-                method=lambda m, *a: m.sigmahead.query_sigma_feat(*a),
+                variables["head"], dense_vols, dhw, out_sh,
+                method=lambda m, *a: m.sigmahead.query_sigma_feat_dense(*a),
             )
             H, W = batch["src_imgs"].shape[1:3]
             rgb_feat, vm = project_and_gather(
@@ -379,7 +408,7 @@ class Renderer:
             for k, v in batch_np.items()
             if k not in ("pts", "inside")
         }
-        featmaps, KE, parts, level_feats, out_sh = vol_fn(variables, batch)
+        featmaps, KE, dense_vols, out_sh = vol_fn(variables, batch)
 
         pts = np.asarray(batch_np["pts"])
         inside = np.asarray(batch_np["inside"]).astype(bool)
@@ -392,7 +421,7 @@ class Renderer:
         sigmas = []
         for i in range(0, len(flat), chunk):
             s = chunk_fn(
-                variables, featmaps, KE, parts, level_feats, out_sh, batch,
+                variables, featmaps, KE, dense_vols, out_sh, batch,
                 jnp.asarray(flat[i : i + chunk]),
             )
             sigmas.append(np.asarray(s))

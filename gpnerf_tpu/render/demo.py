@@ -4,25 +4,35 @@ TPU-native redesign of /root/reference/libs/renders/demo_render.py:96-498
 (the paper's "geometry-guided progressive" pipeline, selected by
 `render.file demo_render` for all published evaluations, test.sh:2-7):
 
-  1. encode source views, fuse vertex codes, build the sparse volume ONCE
-     per frame (the reference's `SparseConvNet.encode`);
-  2. derive the occupancy field and the occupied-voxel set; tight world
-     AABB from occupied voxels (:166-175);
+  1. encode source views (a SEPARATE jit so encoder time is reported as
+     `etime` like the reference, demo_render.py:429-498);
+  2. fuse vertex codes, build the sparse volume ONCE per frame (the
+     reference's `SparseConvNet.encode`), derive the occupancy field;
   3. splat occupied voxels into the target view to mark candidate pixels;
-     form rays only there (:179-211) — compacted to a static `ray_cap`;
-  4. ray/AABB near+far, 64 uniform samples (:212-245);
-  5. occupancy-cull sample points (trilinear occupancy > 0, :270-283) —
-     compacted to a static `sigma_cap`;
-  6. density for survivors (:294-308); alpha-cull (alpha > 1e-14, :316-326)
-     — compacted to `rgb_cap` — color head on the survivors;
-  7. scatter back and composite into the output image (:334-353).
+     form rays only there (:179-211) — compacted to a static `ray_cap`.
+     With `tight_cull` the splat source is the compacted level-1 active set
+     (<= level_caps[0] rows) instead of the reference's dense occupied-voxel
+     walk over the full level-1 volume (~1.8M candidates) — a pure-speed
+     change because tight culling kills samples outside that set anyway;
+  4. ray/AABB near+far, the reference's 64 uniform samples (:212-245);
+  5. occupancy-cull sample points (trilinear occupancy > 0, :270-283):
+     a per-ray rank-compaction keeps the nearest `samples_per_ray` occupied
+     samples of each ray in a rectangular (ray, K) frame — sample POSITIONS
+     are exactly the reference's 64-grid points, so compositing statistics
+     are unchanged (alpha is distance-free, BaseRender.py:90-91, and thus
+     sensitive to sample placement). The (ray, K) frame replaces round 1's
+     global nonzero over ray_cap*64 = 4.2M candidates (4x smaller
+     compaction + 4x smaller scatter frames);
+  6. survivors are globally compacted to `sigma_cap` in slot-major order
+     (overflow drops the deepest, mostly-occluded slot across all rays
+     uniformly); density for survivors (:294-308); alpha-cull
+     (alpha > 1e-14, :316-326) — compacted to `rgb_cap` — color head on the
+     survivors;
+  7. scatter back into the (ray, K) frame and composite (:334-353).
 
-The reference's dynamic boolean indexing becomes jnp.nonzero(size=CAP)
-compaction with overflow counters; everything is one jitted function with
-static shapes. Stage timing (`time_slots`) is available via profile mode
-(stage-split jits); the headline rtime/etime are measured host-side around
-the blocking calls, matching how the reference's evaluate averages rtime
-(BaseTrainer.py:276-280).
+The reference's dynamic boolean indexing becomes static-shape compaction
+with overflow counters; everything runs in two jitted programs (encoder +
+progressive) with static shapes.
 """
 
 from __future__ import annotations
@@ -35,9 +45,9 @@ import jax.numpy as jnp
 
 from gpnerf_tpu.models.heads import fused_mean_variance
 from gpnerf_tpu.models.sparse_net import occupancy_volume
-from gpnerf_tpu.ops.compositing import composite_scattered
-from gpnerf_tpu.ops.projection import project_and_gather
-from gpnerf_tpu.ops.rays import pixel_rays, ray_aabb_near_far, sample_points, sample_z_vals
+from gpnerf_tpu.ops.compositing import shifted_transmittance
+from gpnerf_tpu.ops.projection import project_and_gather_quad
+from gpnerf_tpu.ops.rays import pixel_rays, ray_aabb_near_far
 from gpnerf_tpu.registry import register
 from gpnerf_tpu.render.base import Renderer as BaseRenderer
 
@@ -57,7 +67,7 @@ class Renderer(BaseRenderer):
 
     def __init__(self, *args, ray_cap=65536, sigma_cap=1048576, rgb_cap=262144,
                  occupancy_threshold=0.1, compute_dtype=None, tight_cull=False,
-                 **kwargs):
+                 samples_per_ray=24, **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
@@ -70,77 +80,36 @@ class Renderer(BaseRenderer):
         # the tight field have near-zero trained density, so this trades a
         # negligible metric delta for ~5x fewer density evaluations.
         self.tight_cull = bool(tight_cull)
+        # K: per-ray cap on surviving (occupancy-positive) samples of the
+        # reference's 64-sample grid. Trained bodies average ~8 survivors
+        # per ray (entry/exit shells of the hollow SMPL surface).
+        self.samples_per_ray = int(samples_per_ray)
         self._demo_jit = None
+        self._encoder_jit = None
+        self._last_etime = 0.0
 
     # ------------------------------------------------------------------
-    def _demo_impl(self, variables, batch, stop_stage=None):
-        """stop_stage (static): 'volume' | 'rays' | 'cull' | 'sigma' | None —
-        truncate the pipeline for stage profiling (returns a checksum that
-        forces the intermediates)."""
-        neg_ray = self.neg_ray_val
-        head_vars = variables["head"]
-        apply = lambda method, *a: self.nerfhead.apply(head_vars, *a, method=method)
+    def encode_fn(self):
+        """Encoder as its own jit (the reference times it separately as
+        `etime`, demo_render.py:442-445,494-497)."""
+        if self._encoder_jit is None:
+            self._encoder_jit = jax.jit(
+                lambda variables, imgs: self.encoder.apply(
+                    variables["encoder"], imgs
+                )
+            )
+        return self._encoder_jit
 
-        featmaps = self.encoder.apply(variables["encoder"], batch["src_imgs"])
-        src_unnorm = batch["src_imgs"] * 0.5 + 0.5
-        pre = self.prepare_frame(batch, featmaps, neg_ray=neg_ray)
-        Himg, Wimg = batch["tar_img"].shape[0:2]
-        grids = pre["grids"]
-        out_sh = pre["out_sh"]
-
-        # (2) volume + occupancy (demo_render.py:154-165)
-        level_feats = apply(
-            lambda m, *a: m.volume(*a, train=False),
-            pre["smpl_feat"], pre["vertex_rows"], grids,
-        )
-        masks3d = occupancy_volume(level_feats, grids)  # static level-1 res
-        occ = masks3d > self.occupancy_threshold
-        if self.compute_dtype is not None:
-            # per-point stages run reduced precision: gather tables and the
-            # gathered rows halve their HBM traffic
-            level_feats = [f.astype(self.compute_dtype) for f in level_feats]
-            featmaps = featmaps.astype(self.compute_dtype)
-            src_unnorm = src_unnorm.astype(self.compute_dtype)
-        # materialize dense per-level volumes once per frame: the per-point
-        # multi-scale query then gathers rows directly (no index-volume
-        # indirection) — the TPU analog of the reference's `.dense()` cache
-        # in SparseConvNet.encode (SparseConvNet.py:126-143)
-        from gpnerf_tpu.ops.sparse_conv import scatter_dense
-
-        dense_vols = [
-            scatter_dense(level_feats[i], grids[i + 1]) for i in range(4)
-        ]
-        if stop_stage == "volume":
-            return {"dbg": sum(v.sum() for v in dense_vols) + masks3d.sum()}
-
-        # occupied voxels -> world points (dense masked; no extraction)
-        D1, H1, W1 = masks3d.shape
-        vd = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 0)
-        vh = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 1)
-        vw = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 2)
-        # mask_xyz * 2.0 level-0 units, xyz order (demo_render.py:140-143,166)
-        vox_xyz = jnp.stack([vw, vh, vd], axis=-1).astype(jnp.float32) * 2.0
-        vs = jnp.asarray(self.voxel_size, jnp.float32)
-        can_pts = vox_xyz * vs + batch["bounds"][0]
-        R = batch["Rh"]
-        Th = batch["Th"].reshape(1, 3)
-        pts_w = (can_pts.reshape(-1, 3) @ R.T + Th).reshape(D1, H1, W1, 3)
-
-        big = jnp.float32(1e9)
-        occ3 = occ[..., None]
-        min_xyz = jnp.where(occ3, pts_w, big).min(axis=(0, 1, 2))
-        max_xyz = jnp.where(occ3, pts_w, -big).max(axis=(0, 1, 2))
-        min_xyz = min_xyz - jnp.asarray([0.0, 0.0, 0.05])
-        max_xyz = max_xyz + jnp.asarray([0.0, 0.0, 0.05])
-        can_bounds = jnp.stack([min_xyz, max_xyz])  # (demo :168-175)
-
-        # (3) splat occupied voxels into the target view (:179-199)
+    # ------------------------------------------------------------------
+    def _splat_pixels(self, pts_w, row_ok, batch, Himg, Wimg):
+        """Project world points into the target view and mark each one's 4
+        neighboring pixels (demo_render.py:179-199). Returns the flat pixel
+        occupancy mask (Himg*Wimg,) int32."""
         tp = batch["target_pose"]  # (3, 4)
         tK = batch["target_K"]
-        cam = pts_w.reshape(-1, 3) @ tp[:, :3].T + tp[:, 3]
+        cam = pts_w @ tp[:, :3].T + tp[:, 3]
         pix = cam @ tK.T
         xy = pix[:, :2] / jnp.maximum(pix[:, 2:3], 1e-9)
-        occ_flat = occ.reshape(-1)
         minx = jnp.clip(jnp.floor(xy[:, 0]).astype(jnp.int32), 0, Wimg - 1)
         miny = jnp.clip(jnp.floor(xy[:, 1]).astype(jnp.int32), 0, Himg - 1)
         maxx = jnp.clip(minx + 1, 0, Wimg - 1)
@@ -148,28 +117,147 @@ class Renderer(BaseRenderer):
         pixmask = jnp.zeros((Himg * Wimg,), jnp.int32)
         oob = Himg * Wimg
         for yy, xx in ((miny, minx), (maxy, minx), (miny, maxx), (maxy, maxx)):
-            tgt = jnp.where(occ_flat, yy * Wimg + xx, oob)
+            tgt = jnp.where(row_ok, yy * Wimg + xx, oob)
             pixmask = pixmask.at[tgt].set(1, mode="drop")
+        return pixmask
+
+    def _demo_impl(self, variables, batch, featmaps, stop_stage=None):
+        """stop_stage (static): 'volume' | 'rays' | 'cull_occ' |
+        'cull_compact' | 'cull' | 'sigma' | None — truncate the pipeline for
+        stage profiling (returns a checksum that forces the intermediates)."""
+        neg_ray = self.neg_ray_val
+        head_vars = variables["head"]
+        apply = lambda method, *a: self.nerfhead.apply(head_vars, *a, method=method)
+
+        src_unnorm = batch["src_imgs"] * 0.5 + 0.5
+        pre = self.prepare_frame(batch, featmaps, neg_ray=neg_ray)
+        Himg, Wimg = batch["tar_img"].shape[0:2]
+        grids = pre["grids"]
+        out_sh = pre["out_sh"]
+        S = self.n_samples
+        K = self.samples_per_ray
+        if stop_stage == "pre":
+            return {
+                "dbg": sum(g.nbr.sum() for g in grids) + pre["smpl_feat"].sum()
+            }
+
+        # (2) volume + occupancy (demo_render.py:154-165)
+        level_feats = apply(
+            lambda m, *a: m.volume(*a, train=False),
+            pre["smpl_feat"], pre["vertex_rows"], grids,
+        )
+        if stop_stage == "fuse":
+            return {"dbg": sum(f.sum() for f in level_feats)}
+        masks3d = occupancy_volume(level_feats, grids)  # static level-1 res
+        if stop_stage == "occv":
+            return {"dbg": masks3d.sum()}
+        if self.compute_dtype is not None:
+            # per-point stages run reduced precision: gather tables and the
+            # gathered rows halve their HBM traffic
+            level_feats = [f.astype(self.compute_dtype) for f in level_feats]
+            featmaps = featmaps.astype(self.compute_dtype)
+            src_unnorm = src_unnorm.astype(self.compute_dtype)
+        # materialize dense per-level volumes once per frame and pack each
+        # trilinear footprint into one row (octet tables) — the TPU analog
+        # of the reference's `.dense()` cache (SparseConvNet.encode,
+        # SparseConvNet.py:126-143) laid out so every per-point multi-scale
+        # query is ONE row-gather per level instead of eight
+        from gpnerf_tpu.ops.grid_sample import (
+            build_octet_table_3d,
+            build_quad_table_2d,
+        )
+        from gpnerf_tpu.ops.sparse_conv import scatter_dense
+
+        octet_vols = [
+            build_octet_table_3d(scatter_dense(level_feats[i], grids[i + 1]))
+            for i in range(4)
+        ]
+        # packed bilinear tables for the projection gathers (one row-gather
+        # per point/view/map instead of four)
+        src_quad = build_quad_table_2d(src_unnorm)
+        feat_quad = build_quad_table_2d(featmaps)
+        if stop_stage == "volume":
+            return {
+                "dbg": sum(v.sum() for v in octet_vols)
+                + masks3d.sum()
+                + src_quad.sum()
+                + feat_quad.sum()
+            }
+
+        # occupied voxels -> world points. With tight_cull the splat source
+        # is the compacted level-1 active set (occupied voxels are a subset
+        # of it); reference-cull mode walks the dense sum-over-levels field
+        # like demo_render.py:166 (occupied voxels extend ~8cm beyond the
+        # level-1 actives there).
+        vs = jnp.asarray(self.voxel_size, jnp.float32)
+        R = batch["Rh"]
+        Th = batch["Th"].reshape(1, 3)
+        if self.tight_cull:
+            g1 = grids[1]
+            mval = masks3d[
+                jnp.clip(g1.coords[:, 0], 0, masks3d.shape[0] - 1),
+                jnp.clip(g1.coords[:, 1], 0, masks3d.shape[1] - 1),
+                jnp.clip(g1.coords[:, 2], 0, masks3d.shape[2] - 1),
+            ]
+            row_ok = g1.valid & (mval > self.occupancy_threshold)
+            # dhw -> xyz order, *2.0 to level-0 units (demo_render.py:140-143)
+            vox_xyz = g1.coords[:, ::-1].astype(jnp.float32) * 2.0
+            can_pts = vox_xyz * vs + batch["bounds"][0]
+            pts_w = can_pts @ R.T + Th
+            big = jnp.float32(1e9)
+            okc = row_ok[:, None]
+            min_xyz = jnp.where(okc, pts_w, big).min(axis=0)
+            max_xyz = jnp.where(okc, pts_w, -big).max(axis=0)
+        else:
+            D1, H1, W1 = masks3d.shape
+            occ = (masks3d > self.occupancy_threshold).reshape(-1)
+            vd = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 0)
+            vh = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 1)
+            vw = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 2)
+            vox_xyz = jnp.stack([vw, vh, vd], axis=-1).reshape(-1, 3)
+            can_pts = vox_xyz.astype(jnp.float32) * 2.0 * vs + batch["bounds"][0]
+            pts_w = can_pts @ R.T + Th
+            row_ok = occ
+            big = jnp.float32(1e9)
+            okc = row_ok[:, None]
+            min_xyz = jnp.where(okc, pts_w, big).min(axis=0)
+            max_xyz = jnp.where(okc, pts_w, -big).max(axis=0)
+        min_xyz = min_xyz - jnp.asarray([0.0, 0.0, 0.05])
+        max_xyz = max_xyz + jnp.asarray([0.0, 0.0, 0.05])
+        can_bounds = jnp.stack([min_xyz, max_xyz])  # (demo :168-175)
+
+        # (3) splat occupied voxels into the target view (:179-199)
+        pixmask = self._splat_pixels(pts_w, row_ok, batch, Himg, Wimg)
+        if self.tight_cull:
+            # level-1 voxel spacing (~1 cm) can project to >2 px at close
+            # range; one 4-neighborhood pixel dilation closes the gaps the
+            # reference's dense per-voxel walk never has
+            pm = pixmask.reshape(Himg, Wimg)
+            pm = (
+                pm
+                | jnp.roll(pm, 1, 0) | jnp.roll(pm, -1, 0)
+                | jnp.roll(pm, 1, 1) | jnp.roll(pm, -1, 1)
+            )
+            pixmask = pm.reshape(-1)
 
         # (3b) ray extraction (:200-211)
+        oob = Himg * Wimg
         pix_idx, ray_ok, ray_overflow = _compact(pixmask > 0, self.ray_cap)
         jj = jnp.minimum(pix_idx, oob - 1) // Wimg
         ii = jnp.minimum(pix_idx, oob - 1) % Wimg
         xy1 = jnp.stack([ii, jj, jnp.ones_like(ii)], axis=-1).astype(jnp.float32)
+        tp = batch["target_pose"]
         rays_o, rays_d = pixel_rays(
             xy1, batch["target_K_inv"], tp[:, :3], tp[:, 3:]
         )
 
-        # (4) near/far + samples (:212-245)
+        # (4) near/far on the reference 64-sample grid (:212-245)
         near, far, mask_at_box = ray_aabb_near_far(
             rays_o, rays_d, can_bounds, neg_ray=neg_ray
         )
         ray_ok = ray_ok & mask_at_box
-        z_vals = sample_z_vals(near, far, self.n_samples, perturb=False)
-        pts = sample_points(rays_o, rays_d, z_vals)  # (ray_cap, S, 3)
-        P = self.ray_cap * self.n_samples
         if stop_stage == "rays":
-            return {"dbg": pts.sum() + ray_ok.sum()}
+            return {"dbg": near.sum() + far.sum() + ray_ok.sum()}
 
         # (5) occupancy cull (:270-283). The reference keeps points whose
         # trilinear occupancy sample is > 0, i.e. any corner of the point's
@@ -178,10 +266,17 @@ class Renderer(BaseRenderer):
         # byte-sized gather per point instead of 8 float taps (the cull is
         # conservative: keeping a superset only adds a few points
         # downstream). Candidate positions are computed per-ray affinely so
-        # no (ray_cap * n_samples, 3) point buffers are materialized.
-        dhw_vox = self.points_to_dhw_vox(pts, batch)  # (P, 3) level-0 units
+        # no (ray_cap * S, 3) point buffers are materialized.
+        t_grid = jnp.linspace(0.0, 1.0, S)
+        z_grid = near[:, None] * (1.0 - t_grid) + far[:, None] * t_grid  # (R,S)
+        pts_grid = rays_o[:, None, :] + rays_d[:, None, :] * z_grid[..., None]
+        dhw_vox = self.points_to_dhw_vox(pts_grid, batch).reshape(
+            self.ray_cap, S, 3
+        )
         size1 = out_sh // 2
-        pos1 = dhw_vox / out_sh.astype(jnp.float32) * (size1 - 1).astype(jnp.float32)
+        pos1 = dhw_vox / out_sh.astype(jnp.float32) * (size1 - 1).astype(
+            jnp.float32
+        )
 
         if self.tight_cull:
             cull_vol = occupancy_volume(level_feats, grids, levels=(0,))
@@ -195,27 +290,39 @@ class Renderer(BaseRenderer):
         cell = jnp.round(pos1).astype(jnp.int32)
         inb = jnp.all((cell >= 0) & (cell < size1), axis=-1)
         cellc = jnp.clip(cell, 0, jnp.asarray([D1c - 1, H1c - 1, W1c - 1]))
-        flat_idx = (cellc[:, 0] * H1c + cellc[:, 1]) * W1c + cellc[:, 2]
-        point_ok = (
-            (occb.reshape(-1)[flat_idx] > 0)
-            & inb
-            & jnp.repeat(ray_ok, self.n_samples)
-        )
+        flat_idx = (cellc[..., 0] * H1c + cellc[..., 1]) * W1c + cellc[..., 2]
+        ok = (
+            (occb.reshape(-1)[flat_idx] > 0) & inb & ray_ok[:, None]
+        )  # (ray_cap, S)
         if stop_stage == "cull_occ":
-            return {"dbg": point_ok.sum()}
-        # compact in SAMPLE-major order: if the capacity overflows, the
-        # dropped points are the farthest samples uniformly across rays
-        # (graceful degradation) instead of whole image regions (scan-order
-        # truncation would cut the bottom of the body off)
-        point_ok_t = point_ok.reshape(self.ray_cap, self.n_samples).T.reshape(-1)
-        sig_idx_t, sig_ok, sig_overflow = _compact(point_ok_t, self.sigma_cap)
-        s_of = jnp.minimum(sig_idx_t, P - 1) // self.ray_cap
-        r_of = jnp.minimum(sig_idx_t, P - 1) % self.ray_cap
-        sig_idx = jnp.where(sig_ok, r_of * self.n_samples + s_of, P)
+            return {"dbg": ok.sum()}
 
-        # recompute compacted points from per-ray tables (65k-row gathers)
-        # instead of gathering rows of the 50MB (P, 3) buffers
-        t_of = jnp.linspace(0.0, 1.0, self.n_samples)[s_of]
+        # per-ray rank compaction: slot k of a ray holds the sample index of
+        # its (k+1)-th occupied sample (sentinel S when fewer). Keeping the
+        # NEAREST K survivors drops the farthest — occluded behind the front
+        # surface (transmittance ~0) — samples first.
+        cum = jnp.cumsum(ok.astype(jnp.int32), axis=1)  # (R, S)
+        slot_idx = (cum[:, :, None] <= jnp.arange(K)[None, None, :]).sum(
+            axis=1, dtype=jnp.int32
+        )  # (R, K); == S when the ray has <= k survivors
+        slot_valid = slot_idx < S
+        perray_overflow = jnp.maximum(cum[:, -1] - K, 0).sum()
+
+        # global compaction to sigma_cap, SLOT-major: overflow drops the
+        # deepest slot uniformly across rays (graceful degradation) instead
+        # of whole image regions
+        sig_idx_t, sig_ok, sig_overflow = _compact(
+            slot_valid.T.reshape(-1), self.sigma_cap
+        )
+        P = self.ray_cap * K
+        k_of = jnp.minimum(sig_idx_t, P - 1) // self.ray_cap
+        r_of = jnp.minimum(sig_idx_t, P - 1) % self.ray_cap
+        sig_flat = jnp.where(sig_ok, r_of * K + k_of, P)
+
+        # recompute compacted points from per-ray tables (ray_cap-row
+        # gathers) instead of gathering rows of big (R*S, 3) buffers
+        s_of = slot_idx[r_of, k_of]
+        t_of = jnp.minimum(s_of, S - 1).astype(jnp.float32) / (S - 1)
         z_of = near[r_of] * (1.0 - t_of) + far[r_of] * t_of
         pts_c = rays_o[r_of] + rays_d[r_of] * z_of[:, None]
         dhw_c = self.points_to_dhw_vox(pts_c, batch)
@@ -224,17 +331,19 @@ class Renderer(BaseRenderer):
 
         # project + gather only for survivors (demo projector.compute :284)
         Hsrc, Wsrc = batch["src_imgs"].shape[1:3]
-        rgb_feat, view_mask = project_and_gather(
-            pts_c, pre["KE"], src_unnorm, featmaps, Hsrc, Wsrc, neg_ray=neg_ray
+        rgb_feat, view_mask = project_and_gather_quad(
+            pts_c, pre["KE"], src_quad, feat_quad, Hsrc, Wsrc, neg_ray=neg_ray
         )  # (sigma_cap, V, C+3), (sigma_cap, V)
         if stop_stage == "cull":
             return {"dbg": rgb_feat.sum().astype(jnp.float32) + view_mask.sum()}
 
         # (6) density (:294-314)
         sigma_feat = apply(
-            lambda m, *a: m.sigmahead.query_sigma_feat_dense(*a),
-            dense_vols, dhw_c, out_sh,
+            lambda m, *a: m.sigmahead.query_sigma_feat_octet(*a),
+            octet_vols, dhw_c, out_sh,
         )  # (sigma_cap, 64)
+        if stop_stage == "sigma_q":
+            return {"dbg": sigma_feat.sum().astype(jnp.float32)}
         mean, var = fused_mean_variance(rgb_feat)  # (sigma_cap, 1, C+3)
         num_valid_obs = view_mask.sum(axis=-1, keepdims=True)
         sigma = apply(
@@ -257,17 +366,22 @@ class Renderer(BaseRenderer):
             mean[safe_rgb][:, None],
             var[safe_rgb][:, None],
         )[:, 0].astype(jnp.float32)  # (rgb_cap, 3); composite in f32
+        if stop_stage == "rgb":
+            return {"dbg": rgb.sum()}
 
-        # (8) scatter + composite (:334-353)
+        # (8) scatter into the (ray, K) frame + composite (:334-353). Slots
+        # are ordered by ascending sample index == traversal order, so the
+        # shifted-cumprod transmittance runs directly over the K axis.
         hold_alpha = (
-            jnp.zeros((P,)).at[jnp.where(sig_ok, sig_idx, P)].set(alpha, mode="drop")
+            jnp.zeros((P,)).at[sig_flat].set(alpha, mode="drop")
         )
-        rgb_point_idx = jnp.where(rgb_ok, sig_idx[safe_rgb], P)
-        hold_rgb = (
-            jnp.zeros((P, 3)).at[rgb_point_idx].set(rgb, mode="drop")
-        )
-        rgb_map, weights = composite_scattered(
-            hold_rgb, hold_alpha, self.ray_cap, self.n_samples
+        rgb_point_idx = jnp.where(rgb_ok, sig_flat[safe_rgb], P)
+        hold_rgb = jnp.zeros((P, 3)).at[rgb_point_idx].set(rgb, mode="drop")
+        alpha_rk = hold_alpha.reshape(self.ray_cap, K)
+        T = shifted_transmittance(alpha_rk)
+        weights = alpha_rk * T
+        rgb_map = jnp.sum(
+            weights[..., None] * hold_rgb.reshape(self.ray_cap, K, 3), axis=1
         )
         rgb_map = jnp.where(ray_ok[:, None], rgb_map, 0.0)
 
@@ -287,42 +401,86 @@ class Renderer(BaseRenderer):
             "mask_at_box": maskimg_flat,
             "ray_pix_idx": pix_idx,
             "ray_ok": ray_ok,
-            "overflows": jnp.stack([ray_overflow, sig_overflow, rgb_overflow]),
+            "overflows": jnp.stack(
+                [ray_overflow, perray_overflow, sig_overflow, rgb_overflow]
+            ),
             "can_bounds": can_bounds,
         }
 
     # ------------------------------------------------------------------
     def render_demo_fn(self):
+        """(variables, batch) -> ret. Internally two jits: encoder then the
+        progressive pipeline (featmaps flow device-to-device; dispatch is
+        async so the pair pipelines like one program)."""
         if self._demo_jit is None:
             self._demo_jit = jax.jit(self._demo_impl)
-        return self._demo_jit
+        enc = self.encode_fn()
+
+        def run(variables, batch):
+            featmaps = enc(variables, batch["src_imgs"])
+            return self._demo_jit(variables, batch, featmaps)
+
+        return run
 
     def render(self, variables, batch, rng=None):
         """Reference-style entry (demo_render.render :429-498): returns the
-        full dict plus host-measured etime/rtime."""
-        fn = self.render_demo_fn()
+        full dict plus host-measured etime (encoder) and rtime (progressive
+        remainder), blocking per stage like the reference's
+        cuda.synchronize brackets."""
+        enc = self.encode_fn()
+        if self._demo_jit is None:
+            self.render_demo_fn()
         t0 = time.time()
-        ret = jax.block_until_ready(fn(variables, batch))
+        featmaps = jax.block_until_ready(enc(variables, batch["src_imgs"]))
+        etime = time.time() - t0
+        t0 = time.time()
+        ret = jax.block_until_ready(self._demo_jit(variables, batch, featmaps))
         ret = dict(ret)
-        ret["etime"] = 0.0  # folded into the fused program; see profile()
+        ret["etime"] = etime
         ret["rtime"] = time.time() - t0
+        self._last_etime = etime
         return ret
 
     def profile(self, variables, batch) -> Dict[str, Any]:
-        """Per-stage wall-clock (the reference's time_slots harness,
-        demo_render.py:97-357): times encoder and the progressive remainder
-        separately (stage-split jits under-measure fusion, so only the
-        coarse split is reported)."""
-        enc = jax.jit(
-            lambda v, b: self.encoder.apply(v["encoder"], b["src_imgs"])
-        )
+        """Per-stage wall-clock, keyed by the reference's time_slots names
+        (demo_render.py:97-357): stage-prefix jits are timed and their
+        deltas mapped onto the closest reference slot. `etime`/`rtime` match
+        demo_render.py:494-497."""
+        from functools import partial
+
+        enc = self.encode_fn()
         t0 = time.time()
-        jax.block_until_ready(enc(variables, batch))
+        featmaps = jax.block_until_ready(enc(variables, batch["src_imgs"]))
         etime = time.time() - t0
-        t0 = time.time()
-        jax.block_until_ready(self.render_demo_fn()(variables, batch))
-        rtime = time.time() - t0
-        return {"etime": etime, "rtime": rtime}
+
+        stages = ("volume", "rays", "cull_occ", "cull_compact", "cull",
+                  "sigma", None)
+        totals = {}
+        for stage in stages:
+            fn = jax.jit(partial(self._demo_impl, stop_stage=stage))
+            jax.block_until_ready(fn(variables, batch, featmaps))
+            t0 = time.time()
+            jax.block_until_ready(fn(variables, batch, featmaps))
+            totals[stage] = time.time() - t0
+        prev = 0.0
+        deltas = {}
+        for stage in stages:
+            deltas[stage] = totals[stage] - prev
+            prev = totals[stage]
+        # map onto the reference slot names (demo_render.py time_slots)
+        time_slots = {
+            "bc_attn": 0.0,                    # code fusion folded into
+            "sigma_attn": 0.0,                 # sp_encode (one fused jit)
+            "sigma_c": 0.0,
+            "sp_encode": deltas["volume"],     # fuse+conv+occupancy+dense
+            "bc_time": deltas["rays"],         # splat + rays + near/far
+            "bf_sigma": deltas["cull_occ"] + deltas["cull_compact"] + deltas["cull"],
+            "sigma_f": deltas["sigma"],        # density MLP
+            "bf_rgb": 0.0,                     # alpha cull + color gather
+            "rgb_f": deltas[None],             # color MLP + composite
+            "bc_render": 0.0,
+        }
+        return {"etime": etime, "rtime": totals[None], "time_slots": time_slots}
 
 
 def build_render(cfg):
@@ -358,6 +516,7 @@ def build_render(cfg):
         rgb_cap=cfg.tpu.rgb_cap,
         compute_dtype=compute_dtype,
         tight_cull=cfg.tpu.tight_cull,
+        samples_per_ray=cfg.tpu.samples_per_ray,
     )
 
 

@@ -80,3 +80,27 @@ def test_multistep_and_warmup_schedules():
     assert np.isclose(wm(0), 1 / 3)
     assert wm(3) == 1.0
     assert np.isclose(wm(10), 0.1)
+
+
+def test_multiworker_loader_matches_sync_order():
+    """DataLoader(num_workers>0) streams the same items in the same order as
+    the synchronous path (the reference's torch worker processes,
+    tools/train.py:187-204)."""
+    from gpnerf_tpu.data.loader import BatchSampler, DataLoader, SequentialSampler
+
+    class SquareDS:
+        def __len__(self):
+            return 13
+
+        def __getitem__(self, i):
+            return {"i": np.asarray(i), "sq": np.asarray(i * i)}
+
+    ds = SquareDS()
+    bs = lambda: BatchSampler(SequentialSampler(ds), 1, False)
+    sync = list(DataLoader(ds, bs(), prefetch=0))
+    ldr = DataLoader(ds, bs(), num_workers=3)
+    par = list(ldr)
+    par2 = list(ldr)  # pool reuse across epochs
+    ldr.close()
+    assert [int(d["i"]) for d in par] == [int(d["i"]) for d in sync]
+    assert [int(d["sq"]) for d in par2] == [i * i for i in range(13)]

@@ -1,10 +1,12 @@
-"""Stage-prefix profiler for the progressive renderer (run on TPU).
+"""Stage profiler for the progressive renderer (run on TPU).
 
-Uses the renderer's own `stop_stage` hook so the profiled code is exactly
-the production pipeline. Optionally loads a trained checkpoint (realistic
-occupancy); otherwise warms BatchNorm statistics first — on this runtime,
-cold (empty-occupancy) measurements are meaningless because degenerate
-gather/scatter index patterns execute much faster than real ones.
+Uses the renderer's `profile()` (stage-prefix jits over the exact production
+pipeline, mapped onto the reference's `time_slots` names,
+/root/reference/libs/renders/demo_render.py:97-357). Loads the trained
+checkpoint when present (realistic occupancy); otherwise warms BatchNorm
+statistics first — on this runtime, cold (empty-occupancy) measurements are
+meaningless because degenerate gather/scatter index patterns execute much
+faster than real ones.
 
 Usage: python tools/profile_demo.py [ckpt.pth]
 """
@@ -49,7 +51,7 @@ def main():
         variables = load_eval_model(ckpt, variables, cfg.head.sigma.n_layers)
     else:
         batch0 = {k: jnp.asarray(v) for k, v in frames[0].items()}
-        featmaps = render.encoder.apply(variables["encoder"], batch0["src_imgs"])
+        featmaps = render.encode_fn()(variables, batch0["src_imgs"])
         pre = render.prepare_frame(batch0, featmaps)
         warm = jax.jit(
             lambda hv: render.nerfhead.apply(
@@ -64,18 +66,46 @@ def main():
         variables = {"encoder": variables["encoder"], "head": hv}
 
     dev = [{k: jnp.asarray(v) for k, v in b.items()} for b in frames]
+
+    # stage-prefix timing on the exact production pipeline
+    enc = render.encode_fn()
+    featdev = [enc(variables, b["src_imgs"]) for b in dev]
+    jax.block_until_ready(featdev[-1])
     prev = 0.0
-    for stage in ("volume", "rays", "cull_occ", "cull_compact", "cull", "sigma", None):
+    for stage in ("pre", "fuse", "occv", "volume", "rays", "cull_occ",
+                  "cull_compact", "cull", "sigma_q", "sigma", "rgb", None):
         fn = jax.jit(partial(render._demo_impl, stop_stage=stage))
-        jax.block_until_ready(fn(variables, dev[0]))
+        jax.block_until_ready(fn(variables, dev[0], featdev[0]))
         ts = []
-        for b in dev:
+        for b, f in zip(dev, featdev):
             t0 = time.time()
-            jax.block_until_ready(fn(variables, b))
+            jax.block_until_ready(fn(variables, b, f))
             ts.append(time.time() - t0)
         t = min(ts)
-        print(f"{str(stage):8s} total {t * 1000:7.1f} ms  delta {(t - prev) * 1000:7.1f} ms")
+        print(f"{str(stage):12s} total {t * 1000:7.1f} ms  delta {(t - prev) * 1000:7.1f} ms", flush=True)
         prev = t
+
+    # encoder (etime) timing
+    ts = []
+    for b in dev:
+        t0 = time.time()
+        jax.block_until_ready(enc(variables, b["src_imgs"]))
+        ts.append(time.time() - t0)
+    print(f"encoder (etime) {min(ts) * 1000:7.1f} ms", flush=True)
+
+    # end-to-end production path
+    run = render.render_demo_fn()
+    jax.block_until_ready(run(variables, dev[0]))
+    ts = []
+    for b in dev:
+        t0 = time.time()
+        ret = jax.block_until_ready(run(variables, b))
+        ts.append(time.time() - t0)
+    print(
+        f"end-to-end      {min(ts) * 1000:7.1f} ms  overflows "
+        f"{np.asarray(ret['overflows']).tolist()}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -102,7 +102,9 @@ def main():
     eval_bs = build_batchsampler(
         cfg, eval_dataset, False, cfg.dataset.img_num_per_gpu, False
     )
-    train_loader = DataLoader(train_dataset, train_bs)
+    # cfg.workers parallel __getitem__ processes (the reference's DataLoader
+    # workers, tools/train.py:187-204); eval keeps the thread prefetcher
+    train_loader = DataLoader(train_dataset, train_bs, num_workers=cfg.workers)
     eval_loader = DataLoader(eval_dataset, eval_bs)
 
     # init model variables from a sample batch
