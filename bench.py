@@ -19,6 +19,57 @@ import time
 import numpy as np
 
 
+def analytic_flops_per_frame(H, W, counts, n_smpl=6890, code_dim=32,
+                             feat_ch=32):
+    """Analytic model FLOPs for one progressive frame (multiply-adds x 2):
+    ResNet34-UNet encoder on 3 source views, vertex-code MHA fusion, the
+    sparse conv stack, and the per-point query/density/color MLPs at the
+    frame's measured point counts. Gathers/scatters/compaction are excluded
+    (they are bandwidth, not FLOPs) — so this MFU is a lower bound on how
+    far the gather stages sit from the compute roofline."""
+    V = 3
+    f = 0.0
+    # encoder (conv layers, stride tracked; BasicBlock = 2 convs [+1x1 ds])
+    h, w = H // 2, W // 2
+    f += 2 * 7 * 7 * 3 * 64 * h * w  # stem
+    cin = 64
+    for planes, blocks in ((64, 3), (128, 4), (256, 6)):
+        h, w = h // 2, w // 2
+        for b in range(blocks):
+            ci = cin if b == 0 else planes
+            f += 2 * 9 * ci * planes * h * w * 2  # conv1+conv2
+            if b == 0:
+                f += 2 * ci * planes * h * w  # 1x1 downsample
+        cin = planes
+    # decoder (upconv3/iconv3 at H/8, upconv2/iconv2 at H/4, out 1x1)
+    h8, w8 = H // 8, W // 8
+    h4, w4 = H // 4, W // 4
+    f += 2 * 9 * 256 * 128 * h8 * w8 + 2 * 9 * (128 + 128) * 128 * h8 * w8
+    f += 2 * 9 * 128 * 64 * h4 * w4 + 2 * 9 * (64 + 64) * feat_ch * h4 * w4
+    f += 2 * feat_ch * feat_ch * h4 * w4
+    f *= V
+    # MHA fusion: qkv projections + attention over V keys + out proj
+    f += 2 * n_smpl * (code_dim * code_dim + 2 * V * feat_ch * code_dim
+                       + 2 * V * code_dim + code_dim * code_dim)
+    # sparse conv stack (subm0 x2 + per level: stride + 2 subm), 27-tap
+    sites = [6890, 15400, 6900, 1900, 500]  # measured typical actives
+    dims = [(code_dim, code_dim)] * 2
+    f += sum(2 * 27 * ci * co * sites[0] for ci, co in dims)
+    cin = code_dim
+    for lvl in range(4):
+        f += 2 * 27 * cin * 32 * sites[lvl + 1]          # strided
+        f += 2 * 27 * 32 * 32 * sites[lvl + 1] * 2       # double conv
+        cin = 32
+    n_rays, n_sigma, n_rgb = counts
+    # per-point: trilinear lerps (4 levels x 8 taps x 32ch) + Linear 128->64
+    # + density MLP + color MLP
+    f += n_sigma * (2 * 4 * 8 * 32 + 2 * 128 * 64)
+    f += n_sigma * 2 * (134 * 64 + 64 * 32 + 32 * 16 + 16)
+    f += n_rgb * 2 * (3 * (105 * 64 + 64 * 32 + 2 * 32 * 32) + 96 * 32
+                      + 32 * 16 + 16 * 3)
+    return f
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -92,12 +143,24 @@ def main():
     overflows = np.asarray(ret["overflows"]).tolist()
 
     t0 = time.time()
-    for b in dev_batches:
-        ret = fn(variables, b)
-    jax.block_until_ready(ret)
+    rets = [fn(variables, b) for b in dev_batches]
+    jax.block_until_ready(rets[-1])
     dt = time.time() - t0
     fps = n_frames / dt
+    # hard-cap overflows checked across ALL frames (per-ray K drops are the
+    # designed graceful path and reported separately)
+    all_over = np.stack([np.asarray(r["overflows"]) for r in rets])
+    overflows = all_over.max(axis=0).tolist()
+    all_counts = np.stack([np.asarray(r.get("counts", [0, 0, 0])) for r in rets])
 
+    # MFU vs v5e peak (197 TFLOPS bf16); analytic FLOPs exclude gathers, so
+    # low MFU quantifies how gather/dispatch-bound the pipeline is
+    mean_counts = all_counts.mean(axis=0)
+    flops = analytic_flops_per_frame(
+        512, 512, mean_counts, code_dim=cfg.head.sigma.code_dim
+    )
+    peak = 197e12
+    mfu = flops * fps / peak
     print(
         json.dumps(
             {
@@ -105,12 +168,14 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / 20.0, 3),
+                "mfu": round(mfu, 5),
             }
         )
     )
+    counts = all_counts.max(axis=0).tolist()
     print(
-        f"# {dt / n_frames * 1000:.1f} ms/frame; overflows(ray,perrayK,sigma,rgb)={overflows}; "
-        f"device={jax.devices()[0].device_kind}",
+        f"# {dt / n_frames * 1000:.1f} ms/frame; max overflows(ray,perrayK,sigma,rgb)={overflows}; "
+        f"max counts(rays,sigma,rgb)={counts}; device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
 

@@ -154,20 +154,15 @@ cfg.tpu.level_caps = [20480, 10240, 4096, 2048]
 # static dense volume shape (dhw), multiple of 32; per-frame out_sh is
 # clamped/padded into this buffer so XLA sees one shape
 cfg.tpu.max_out_sh = [96, 384, 384]
-# progressive (demo) renderer: ray / sample-point / color-point capacities.
-# The multi-scale occupancy field is broad (coarse levels blanket 16^3
-# blocks, matching the reference's sum-over-levels), so ~half of the
-# ray-sample candidates survive the cull on real bodies; sigma_cap is sized
-# for that. Overflow degrades gracefully (farthest samples dropped first)
-# and is reported in the render output's `overflows`.
-# measured on the trained synthetic model over the full test set (60
-# frames): sigma_cap 512k gives PSNR 22.46/SSIM 0.923 vs the unculled
-# BaseRender's 22.82/0.926 (parity); 256k overflows on close views and
-# costs ~2 dB. Overflow drops farthest samples first and is reported in
-# the render output's `overflows`.
-cfg.tpu.ray_cap = 65536
-cfg.tpu.sigma_cap = 524288
-cfg.tpu.rgb_cap = 262144
+# progressive (demo) renderer: ray / sample-point / color-point capacities,
+# measured on the trained synthetic model at 512^2 (tight splat + per-ray
+# K-slots): ~15k rays, ~156k sigma points, ~134k color points per frame;
+# caps sized with ~2x headroom. Overflow degrades gracefully (per-ray K
+# drops farthest samples; global compaction drops the deepest slot) and is
+# reported per frame in the render output's `overflows`.
+cfg.tpu.ray_cap = 32768
+cfg.tpu.sigma_cap = 262144
+cfg.tpu.rgb_cap = 196608
 # per-ray cap on occupancy-surviving samples (of the reference's 64-sample
 # grid): the progressive renderer keeps each ray's nearest K survivors in a
 # rectangular (ray, K) frame before the global sigma_cap compaction. Trained
@@ -176,10 +171,13 @@ cfg.tpu.rgb_cap = 262144
 cfg.tpu.samples_per_ray = 24
 # cull against level-1-only occupancy (tight body shell) instead of the
 # reference's sum-over-levels field whose coarse levels blanket ~8 cm around
-# the body. Measured on the trained synthetic model: PSNR 22.07 (tight) vs
-# 21.60 (reference cull) vs 22.71 (unculled BaseRender) — better quality AND
-# ~5x fewer density evaluations. False restores exact reference cull
-# semantics (then raise sigma_cap to ~1M).
+# the body. Full-60-frame sweep on the trained synthetic model at 512^2
+# (round 2, final caps): PSNR/SSIM 22.69/0.925 (tight) vs 19.27/0.882
+# (reference cull) vs 22.82/0.926 (unculled BaseRender). Under the per-ray
+# K-slot frame the tight cull is REQUIRED for quality, not just speed: the
+# loose blanket fills a ray's nearest-K slots with empty space and drops
+# the true surface samples. To run exact reference cull semantics set
+# tight_cull False AND samples_per_ray 64 (and raise ray/sigma caps).
 cfg.tpu.tight_cull = True
 # BaseRender full-image eval: padded capacity for all bound-mask rays
 cfg.tpu.eval_ray_cap = 131072

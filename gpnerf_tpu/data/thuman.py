@@ -241,6 +241,13 @@ class CustomDataset(HumanNVSDataset):
             "img_hw": np.asarray([H, W], np.int32),
         }
         ret.update(padded)
+        from gpnerf_tpu.data.sparse_host import build_host_pyramid
+
+        ret.update(
+            build_host_pyramid(
+                coord, self.max_out_sh, self.site_cap, self.level_caps
+            )
+        )
         if self.with_mesh_grid:
             pts = self.mesh_grid(can_bounds)
             ret["pts"] = pts

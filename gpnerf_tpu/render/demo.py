@@ -404,23 +404,34 @@ class Renderer(BaseRenderer):
             "overflows": jnp.stack(
                 [ray_overflow, perray_overflow, sig_overflow, rgb_overflow]
             ),
+            # occupancy statistics for cap tuning: rays / sigma points /
+            # color points actually used this frame
+            "counts": jnp.stack(
+                [
+                    ray_ok.sum(),
+                    slot_valid.sum(),
+                    ((alpha > 1e-14) & sig_ok).sum(),
+                ]
+            ),
             "can_bounds": can_bounds,
         }
 
     # ------------------------------------------------------------------
     def render_demo_fn(self):
-        """(variables, batch) -> ret. Internally two jits: encoder then the
-        progressive pipeline (featmaps flow device-to-device; dispatch is
-        async so the pair pipelines like one program)."""
-        if self._demo_jit is None:
-            self._demo_jit = jax.jit(self._demo_impl)
-        enc = self.encode_fn()
+        """(variables, batch) -> ret, ONE fused program (encoder included):
+        on a networked runtime each program execution pays a ~30 ms dispatch
+        round-trip, so the throughput path fuses; `render()` uses the split
+        jits when per-stage etime is requested."""
+        if getattr(self, "_demo_fused", None) is None:
+            @jax.jit
+            def fused(variables, batch):
+                featmaps = self.encoder.apply(
+                    variables["encoder"], batch["src_imgs"]
+                )
+                return self._demo_impl(variables, batch, featmaps)
 
-        def run(variables, batch):
-            featmaps = enc(variables, batch["src_imgs"])
-            return self._demo_jit(variables, batch, featmaps)
-
-        return run
+            self._demo_fused = fused
+        return self._demo_fused
 
     def render(self, variables, batch, rng=None):
         """Reference-style entry (demo_render.render :429-498): returns the
@@ -429,7 +440,7 @@ class Renderer(BaseRenderer):
         cuda.synchronize brackets."""
         enc = self.encode_fn()
         if self._demo_jit is None:
-            self.render_demo_fn()
+            self._demo_jit = jax.jit(self._demo_impl)
         t0 = time.time()
         featmaps = jax.block_until_ready(enc(variables, batch["src_imgs"]))
         etime = time.time() - t0
