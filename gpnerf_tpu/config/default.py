@@ -183,6 +183,9 @@ cfg.tpu.tight_cull = True
 cfg.tpu.eval_ray_cap = 131072
 # eval chunk size (rays per lax.map step on the BaseRender eval path)
 cfg.tpu.eval_chunk = 8192
+# uint8-quantize the demo renderer's octet feature tables (per-channel
+# scales; post-ReLU activations): halves the dominant random-gather bytes
+cfg.tpu.quantize_volume = True
 # matmul precision: 'bfloat16' or 'float32'
 cfg.tpu.matmul_dtype = "bfloat16"
 # mesh axis name + size for data parallelism (-1 = all devices)

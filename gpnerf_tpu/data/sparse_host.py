@@ -41,18 +41,39 @@ def _flat(coords, shape):
     return (coords[:, 0].astype(np.int64) * H + coords[:, 1]) * W + coords[:, 2]
 
 
-def _lookup_rows(sorted_flat, query_flat, inb):
-    """Row ids of query voxels in a sorted unique flat-key table; -1 when
-    absent or not in-bounds."""
-    pos = np.searchsorted(sorted_flat, query_flat)
-    pos_c = np.minimum(pos, len(sorted_flat) - 1) if len(sorted_flat) else pos * 0
-    hit = (
-        inb
-        & (len(sorted_flat) > 0)
-        & (pos < len(sorted_flat))
-        & (sorted_flat[pos_c] == query_flat)
-    )
-    return np.where(hit, pos, -1).astype(np.int32)
+# persistent direct-index lookup buffers per level shape: a flat int32
+# voxel -> row-id table with a +1 HALO on every face, kept at -1, filled
+# with a level's rows, queried by plain fancy indexing, then reset by
+# re-scattering -1 to only the touched entries. The halo absorbs every
+# +-1-neighbor query (k=3 convs never reach further), so neighbor lookups
+# need no bounds masks at all — this is the per-item hot path (~2M
+# queries/frame) and bounds reductions dominated the numpy profile.
+_IDX_CACHE: dict = {}
+
+
+def _halo_buffer(shape):
+    key = tuple(int(v) + 2 for v in shape)
+    n = key[0] * key[1] * key[2]
+    buf = _IDX_CACHE.get(key)
+    if buf is None or buf.size != n:
+        buf = np.full(n, -1, np.int32)
+        _IDX_CACHE[key] = buf
+    return buf
+
+
+def _halo_flat(coords, shape):
+    """Flat index into the halo buffer for REAL coords (0-based)."""
+    Hh = shape[1] + 2
+    Wh = shape[2] + 2
+    c = coords.astype(np.int32)
+    return ((c[:, 0] + 1) * Hh + (c[:, 1] + 1)) * Wh + (c[:, 2] + 1)
+
+
+def _halo_offsets(shape):
+    Hh = shape[1] + 2
+    Wh = shape[2] + 2
+    o = _OFFSETS_3.astype(np.int32)
+    return (o[:, 0] * Hh + o[:, 1]) * Wh + o[:, 2]
 
 
 def _pad_rows(arr, cap, fill):
@@ -113,27 +134,25 @@ def build_host_pyramid(
     level_coords.append(c0)
 
     for i in range(n_levels):
-        Din, Hin, Win = shapes[i]
         oD, oH, oW = shapes[i + 1]
-        cin = level_coords[i]
+        cin = level_coords[i].astype(np.int32)
         lo = cin // 2
         hi = (cin + 1) // 2
-        cands = []
+        # per-dim upper-bound validity (lower bound is always >= 0); a hi
+        # candidate can land exactly at the level size and must be dropped
+        hv = [hi[:, d] < (oD, oH, oW)[d] for d in range(3)]
+        flats = []
         for sel in itertools.product((0, 1), repeat=3):
-            cand = np.stack(
-                [
-                    (hi if sel[0] else lo)[:, 0],
-                    (hi if sel[1] else lo)[:, 1],
-                    (hi if sel[2] else lo)[:, 2],
-                ],
-                axis=-1,
-            )
-            inb = np.all(cand >= 0, axis=-1) & (
-                (cand[:, 0] < oD) & (cand[:, 1] < oH) & (cand[:, 2] < oW)
-            )
-            cands.append(cand[inb])
-        cand = np.concatenate(cands, axis=0)
-        uniq_o = np.unique(_flat(cand, shapes[i + 1]))
+            d0 = hi[:, 0] if sel[0] else lo[:, 0]
+            d1 = hi[:, 1] if sel[1] else lo[:, 1]
+            d2 = hi[:, 2] if sel[2] else lo[:, 2]
+            f = (d0.astype(np.int64) * oH + d1) * oW + d2
+            m = None
+            for d in range(3):
+                if sel[d]:
+                    m = hv[d] if m is None else (m & hv[d])
+            flats.append(f if m is None else f[m])
+        uniq_o = np.unique(np.concatenate(flats))
         co = np.stack(
             [uniq_o // (oH * oW), (uniq_o // oW) % oH, uniq_o % oW], axis=-1
         ).astype(np.int32)
@@ -145,38 +164,40 @@ def build_host_pyramid(
         sh = shapes[i]
         coords_i = level_coords[i]
         n = len(coords_i)
+        nv = min(n, cap)
         overflows.append(max(n - cap, 0))
         padded = np.full((cap, 3), sh, np.int32)
-        padded[: min(n, cap)] = coords_i[:cap]
+        padded[:nv] = coords_i[:cap]
         valid = np.zeros((cap,), bool)
-        valid[: min(n, cap)] = True
+        valid[:nv] = True
         out[f"lvl{i}_coords"] = padded
         out[f"lvl{i}_valid"] = valid
 
-        # subm neighbor table at this level
-        kept_flat = level_flat[i][:cap]
-        nbr_c = padded[:, None, :].astype(np.int64) + _OFFSETS_3[None]
-        inb = np.all(nbr_c >= 0, axis=-1) & np.all(
-            nbr_c < np.asarray(sh, np.int64), axis=-1
-        )
-        nbr_flat = _flat(nbr_c.reshape(-1, 3), sh).reshape(cap, 27)
-        nbr = _lookup_rows(kept_flat, nbr_flat.reshape(-1), inb.reshape(-1))
-        nbr = nbr.reshape(cap, 27)
-        nbr[~valid] = -1
+        # fill this level's halo index table (reset after use below)
+        buf = _halo_buffer(sh)
+        base = _halo_flat(coords_i[:nv], sh)
+        buf[base] = np.arange(nv, dtype=np.int32)
+        offs = _halo_offsets(sh)
+
+        # subm neighbor table at this level (valid rows only; padding -1)
+        nbr = np.full((cap, 27), -1, np.int32)
+        nbr[:nv] = buf[base[:, None] + offs[None]]
         out[f"lvl{i}_nbr"] = nbr
 
-        if i >= 1:
-            # strided table into level i-1 rows at 2*o + offset
-            centers = padded.astype(np.int64) * 2
-            dn_c = centers[:, None, :] + _OFFSETS_3[None]
-            sh_in = np.asarray(shapes[i - 1], np.int64)
-            inb = np.all(dn_c >= 0, axis=-1) & np.all(dn_c < sh_in, axis=-1)
-            dn_flat = _flat(dn_c.reshape(-1, 3), shapes[i - 1]).reshape(cap, 27)
-            kept_in = level_flat[i - 1][: caps[i - 1]]
-            down = _lookup_rows(kept_in, dn_flat.reshape(-1), inb.reshape(-1))
-            down = down.reshape(cap, 27)
-            down[~valid] = -1
-            out[f"lvl{i}_down"] = down
+        if i + 1 <= n_levels:
+            # the NEXT level's strided table queries THIS level's rows at
+            # 2*o + offset — compute it while the buffer is filled.
+            # Centers 2*o lie in [0, dim-2], so +-1 offsets stay inside the
+            # halo coverage.
+            cap_o = caps[i + 1]
+            co = level_coords[i + 1]
+            no = min(len(co), cap_o)
+            down = np.full((cap_o, 27), -1, np.int32)
+            base_o = _halo_flat(co[:no] * 2, sh)
+            down[:no] = buf[base_o[:, None] + offs[None]]
+            out[f"lvl{i + 1}_down"] = down
+
+        buf[base] = -1  # reset touched entries only
 
     vr = np.full((caps[0],), -1, np.int32)
     vr[: min(len(vertex_rows), caps[0])] = vertex_rows[: caps[0]]

@@ -101,9 +101,13 @@ class NeRFSigmaHead(nn.Module):
         feats = self.xyzc_net.query_dense(dense_vols, dhw_vox, out_sh_dyn)
         return self.out_geometry_fc(feats)
 
-    def query_sigma_feat_octet(self, octet_vols, dhw_vox, out_sh_dyn):
-        """Octet-table variant (demo hot path)."""
-        feats = self.xyzc_net.query_octet(octet_vols, dhw_vox, out_sh_dyn)
+    def query_sigma_feat_octet(self, octet_vols, dhw_vox, out_sh_dyn,
+                               scales=None):
+        """Octet-table variant (demo hot path); optional uint8 tables with
+        per-level dequantization scales."""
+        feats = self.xyzc_net.query_octet(
+            octet_vols, dhw_vox, out_sh_dyn, scales=scales
+        )
         return self.out_geometry_fc(feats)
 
     def __call__(self, smpl_feat, vertex_rows, levels, dhw_vox, out_sh_dyn,

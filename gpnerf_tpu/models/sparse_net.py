@@ -127,10 +127,11 @@ class SparseConvNet(nn.Module):
             level_feats.append(x)
         return level_feats
 
-    def query_octet(self, octet_vols, dhw_vox, out_sh_dyn):
+    def query_octet(self, octet_vols, dhw_vox, out_sh_dyn, scales=None):
         """Multi-scale trilinear query through packed octet tables
         (ops.grid_sample.build_octet_table_3d): one row-gather per (point,
-        level) instead of eight."""
+        level) instead of eight. `scales`: optional per-level dequantization
+        factors for uint8 tables."""
         from gpnerf_tpu.ops.grid_sample import trilinear_octet_rows
 
         outs = []
@@ -138,7 +139,13 @@ class SparseConvNet(nn.Module):
         for i in range(self.n_layers):
             size = out_sh_dyn // (2 ** (i + 1))
             pos = frac * (size - 1).astype(dhw_vox.dtype)
-            outs.append(trilinear_octet_rows(octet_vols[i], pos, size))
+            sc = None if scales is None else scales[i]
+            outs.append(
+                trilinear_octet_rows(
+                    octet_vols[i], pos, size, scale=sc,
+                    out_dtype=self.compute_dtype,
+                )
+            )
         return jnp.concatenate(outs, axis=-1)
 
     def query_dense(self, dense_vols, dhw_vox, out_sh_dyn):

@@ -228,21 +228,38 @@ def build_octet_table_3d(vol):
     return jnp.concatenate(parts, axis=-1)
 
 
-def trilinear_octet_rows(table, pos, size):
+def quantize_volume_u8(vol, eps=1e-8):
+    """Per-channel symmetric uint8 quantization of a non-negative feature
+    volume (the sparse conv levels are post-ReLU). Returns (q (..., C) uint8,
+    scale (C,) float32)."""
+    vmax = jnp.maximum(vol.reshape(-1, vol.shape[-1]).max(axis=0), eps)
+    scale = (vmax / 255.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(vol / scale), 0, 255).astype(jnp.uint8)
+    return q, scale
+
+
+def trilinear_octet_rows(table, pos, size, scale=None, out_dtype=None):
     """`trilinear_dense_rows` semantics through an octet table.
 
     table: (D+1, H+1, W+1, 8C); pos: (P, 3) dhw voxel units; size: (3,)
-    dynamic valid extent (zeros padding outside). Returns (P, C)."""
+    dynamic valid extent (zeros padding outside). `scale`: per-channel (C,)
+    dequantization factors when the table is uint8-quantized (halves the
+    random-gather bytes of the dominant level-1 table). Returns (P, C)."""
     import itertools as _it
 
     Dp, Hp, Wp, C8 = table.shape
     C = C8 // 8
+    wdt = out_dtype if out_dtype is not None else (
+        table.dtype if scale is None else jnp.float32
+    )
     base = jnp.floor(pos).astype(jnp.int32)
-    w1 = (pos - jnp.floor(pos)).astype(table.dtype)
+    w1 = (pos - jnp.floor(pos)).astype(wdt)
     w0 = 1.0 - w1
     bc = jnp.clip(base, -1, jnp.asarray([Dp - 2, Hp - 2, Wp - 2])) + 1
     flat = table.reshape(-1, C8)
     rows = flat[(bc[:, 0] * Hp + bc[:, 1]) * Wp + bc[:, 2]]  # (P, 8C)
+    if scale is not None:
+        rows = rows.astype(wdt)
     out = 0.0
     for k, sel in enumerate(_it.product((0, 1), repeat=3)):
         corner = base + jnp.asarray(sel, jnp.int32)
@@ -253,8 +270,10 @@ def trilinear_octet_rows(table, pos, size):
             * (w1[:, 2] if sel[2] else w0[:, 2])
         )
         out = out + rows[:, k * C : (k + 1) * C] * (
-            w * inb.astype(table.dtype)
+            w * inb.astype(wdt)
         )[:, None]
+    if scale is not None:
+        out = out * scale.astype(wdt)[None, :]
     return out
 
 

@@ -67,7 +67,7 @@ class Renderer(BaseRenderer):
 
     def __init__(self, *args, ray_cap=65536, sigma_cap=1048576, rgb_cap=262144,
                  occupancy_threshold=0.1, compute_dtype=None, tight_cull=False,
-                 samples_per_ray=24, **kwargs):
+                 samples_per_ray=24, quantize_volume=False, **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
@@ -84,6 +84,10 @@ class Renderer(BaseRenderer):
         # reference's 64-sample grid. Trained bodies average ~8 survivors
         # per ray (entry/exit shells of the hollow SMPL surface).
         self.samples_per_ray = int(samples_per_ray)
+        # uint8-quantize the octet feature tables (per-channel scales): the
+        # level-1 table is the pipeline's dominant random-gather target and
+        # the features are post-ReLU activations
+        self.quantize_volume = bool(quantize_volume)
         self._demo_jit = None
         self._encoder_jit = None
         self._last_etime = 0.0
@@ -165,13 +169,26 @@ class Renderer(BaseRenderer):
         from gpnerf_tpu.ops.grid_sample import (
             build_octet_table_3d,
             build_quad_table_2d,
+            quantize_volume_u8,
         )
         from gpnerf_tpu.ops.sparse_conv import scatter_dense
 
-        octet_vols = [
-            build_octet_table_3d(scatter_dense(level_feats[i], grids[i + 1]))
-            for i in range(4)
-        ]
+        octet_scales = None
+        if self.quantize_volume:
+            octet_vols, octet_scales = [], []
+            for i in range(4):
+                q, sc = quantize_volume_u8(
+                    scatter_dense(level_feats[i], grids[i + 1])
+                )
+                octet_vols.append(build_octet_table_3d(q))
+                octet_scales.append(sc)
+        else:
+            octet_vols = [
+                build_octet_table_3d(
+                    scatter_dense(level_feats[i], grids[i + 1])
+                )
+                for i in range(4)
+            ]
         # packed bilinear tables for the projection gathers (one row-gather
         # per point/view/map instead of four)
         src_quad = build_quad_table_2d(src_unnorm)
@@ -339,8 +356,11 @@ class Renderer(BaseRenderer):
 
         # (6) density (:294-314)
         sigma_feat = apply(
-            lambda m, *a: m.sigmahead.query_sigma_feat_octet(*a),
+            lambda m, *a, **kw: m.sigmahead.query_sigma_feat_octet(*a, **kw),
             octet_vols, dhw_c, out_sh,
+        ) if octet_scales is None else self.nerfhead.apply(
+            head_vars, octet_vols, dhw_c, out_sh, scales=octet_scales,
+            method=lambda m, *a, **kw: m.sigmahead.query_sigma_feat_octet(*a, **kw),
         )  # (sigma_cap, 64)
         if stop_stage == "sigma_q":
             return {"dbg": sigma_feat.sum().astype(jnp.float32)}
@@ -528,6 +548,7 @@ def build_render(cfg):
         compute_dtype=compute_dtype,
         tight_cull=cfg.tpu.tight_cull,
         samples_per_ray=cfg.tpu.samples_per_ray,
+        quantize_volume=cfg.tpu.quantize_volume,
     )
 
 

@@ -41,6 +41,7 @@ def test_demo_matches_base_on_covered_pixels():
     # index, so the loop below really visits every test camera
     cfg.dataset.test.sampler = "FrameSampler"
     cfg.tpu.matmul_dtype = "float32"  # numerical comparison
+    cfg.tpu.quantize_volume = False  # quantization judged by the TPU sweep
     cfg.tpu.ray_cap = 16384
     cfg.tpu.sigma_cap = 262144
     cfg.tpu.rgb_cap = 131072
