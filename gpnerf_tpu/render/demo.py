@@ -375,17 +375,20 @@ class Renderer(BaseRenderer):
         if stop_stage == "sigma":
             return {"dbg": alpha.sum()}
 
-        # (7) alpha cull -> color head (:316-333)
-        rgb_sel, rgb_ok, rgb_overflow = _compact(
-            (alpha > 1e-14) & sig_ok, self.rgb_cap
-        )
-        safe_rgb = jnp.minimum(rgb_sel, self.sigma_cap - 1)
+        # (7) color head on the sigma frame, alpha-masked (:316-333). The
+        # reference compacts alpha>1e-14 survivors before its color MLP; in
+        # the rectangular frame the masked points get weight 0 in the
+        # composite anyway, and running the MLP on the full sigma frame is
+        # cheaper than a third nonzero + three row-gathers + an extra
+        # scatter on this runtime.
         rgb = apply(
             lambda m, *a: m.rgbhead.color(*a),
-            rgb_feat[safe_rgb][:, None],
-            mean[safe_rgb][:, None],
-            var[safe_rgb][:, None],
-        )[:, 0].astype(jnp.float32)  # (rgb_cap, 3); composite in f32
+            rgb_feat[:, None],
+            mean[:, None],
+            var[:, None],
+        )[:, 0].astype(jnp.float32)  # (sigma_cap, 3); composite in f32
+        alpha_live = (alpha > 1e-14) & sig_ok
+        rgb_overflow = jnp.int32(0)  # no rgb compaction under masking
         if stop_stage == "rgb":
             return {"dbg": rgb.sum()}
 
@@ -395,7 +398,7 @@ class Renderer(BaseRenderer):
         hold_alpha = (
             jnp.zeros((P,)).at[sig_flat].set(alpha, mode="drop")
         )
-        rgb_point_idx = jnp.where(rgb_ok, sig_flat[safe_rgb], P)
+        rgb_point_idx = jnp.where(alpha_live, sig_flat, P)
         hold_rgb = jnp.zeros((P, 3)).at[rgb_point_idx].set(rgb, mode="drop")
         alpha_rk = hold_alpha.reshape(self.ray_cap, K)
         T = shifted_transmittance(alpha_rk)
@@ -430,7 +433,7 @@ class Renderer(BaseRenderer):
                 [
                     ray_ok.sum(),
                     slot_valid.sum(),
-                    ((alpha > 1e-14) & sig_ok).sum(),
+                    alpha_live.sum(),
                 ]
             ),
             "can_bounds": can_bounds,
