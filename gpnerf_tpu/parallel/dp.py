@@ -140,3 +140,89 @@ def make_dp_eval_render(renderer, mesh, axis: str = "dp"):
         return {k: v.reshape(cap, *v.shape[2:]) for k, v in out.items()}
 
     return run
+
+
+def make_dp_demo_render(renderer, mesh, axis: str = "dp"):
+    """Shard the PROGRESSIVE renderer's per-ray pipeline across the mesh.
+
+    Each device replicates the cheap frame stage (volume, occupancy, packed
+    gather tables, ray extraction — deterministic, identical on every chip)
+    and runs the expensive per-point pipeline (occupancy taps, K-slot
+    compaction, projection gathers, density/color MLPs, composite) on its
+    1/N slice of the ray set; per-point capacities scale with the slice
+    (render/demo.Renderer._ray_pipeline). The composited ray colors ride
+    the mesh back as the shard_map output — the progressive analog of the
+    reference's single-GPU demo_render, scaled over ICI.
+    """
+    n_dev = mesh.shape[axis]
+    assert renderer.ray_cap % n_dev == 0, (renderer.ray_cap, n_dev)
+    sl = renderer.ray_cap // n_dev
+
+    def device_fn(variables, batch):
+        featmaps = renderer.encoder.apply(
+            variables["encoder"], batch["src_imgs"]
+        )
+        out = renderer._frame_stage(variables, batch, featmaps)
+        pre, tables, rd = out
+        i = jax.lax.axis_index(axis)
+        start = i * sl
+
+        def sl1(x):
+            return jax.lax.dynamic_slice_in_dim(x, start, sl, axis=0)
+
+        rgb_map, stats = renderer._ray_pipeline(
+            variables["head"], batch, pre, tables,
+            sl1(rd["rays_o"]), sl1(rd["rays_d"]), sl1(rd["near"]),
+            sl1(rd["far"]), sl1(rd["ray_ok"]),
+        )
+        overflows = jnp.stack(
+            [
+                rd["ray_overflow"],
+                stats["perray_overflow"],
+                stats["sig_overflow"],
+                jnp.int32(0),
+            ]
+        )
+        return (
+            rgb_map[None],
+            sl1(rd["pix_idx"])[None],
+            sl1(rd["ray_ok"])[None],
+            jax.lax.psum(overflows, axis)[None] // jnp.int32(n_dev),
+        )
+
+    sharded = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(variables, batch):
+        rgb, pix_idx, ray_ok, overflows = sharded(variables, batch)
+        cap = renderer.ray_cap
+        rgb = rgb.reshape(cap, 3)
+        pix_idx = pix_idx.reshape(cap)
+        ray_ok = ray_ok.reshape(cap)
+        Himg, Wimg = batch["tar_img"].shape[0:2]
+        oob = Himg * Wimg
+        pred_flat = (
+            jnp.zeros((oob, 3))
+            .at[jnp.where(ray_ok, pix_idx, oob)]
+            .set(rgb, mode="drop")
+        )
+        mask_flat = (
+            jnp.zeros((oob,), bool)
+            .at[jnp.where(ray_ok, pix_idx, oob)]
+            .set(True, mode="drop")
+        )
+        return {
+            "rgb_map": rgb,
+            "pred_img": pred_flat.reshape(Himg, Wimg, 3),
+            "mask_at_box": mask_flat,
+            "ray_ok": ray_ok,
+            "overflows": overflows[0],
+        }
+
+    return run

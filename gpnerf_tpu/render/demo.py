@@ -125,14 +125,169 @@ class Renderer(BaseRenderer):
             pixmask = pixmask.at[tgt].set(1, mode="drop")
         return pixmask
 
-    def _demo_impl(self, variables, batch, featmaps, stop_stage=None):
-        """stop_stage (static): 'volume' | 'rays' | 'cull_occ' |
-        'cull_compact' | 'cull' | 'sigma' | None — truncate the pipeline for
-        stage profiling (returns a checksum that forces the intermediates)."""
+    def _ray_pipeline(self, head_vars, batch, pre, tables, rays_o, rays_d,
+                      near, far, ray_ok, stop_stage=None):
+        """Stages (5)-(8) — occupancy cull, per-ray K-slot compaction,
+        projection gather, density, color, composite — over a (possibly
+        device-sharded) slice of rays. Point capacities scale with the
+        slice so a mesh of N chips splits the per-point work N ways
+        (parallel/dp.make_dp_demo_render)."""
+        apply = lambda method, *a, **kw: self.nerfhead.apply(
+            head_vars, *a, **kw, method=method
+        )
+        neg_ray = self.neg_ray_val
+        S = self.n_samples
+        K = self.samples_per_ray
+        nr = rays_o.shape[0]
+        sig_cap = max(1, self.sigma_cap * nr // self.ray_cap)
+        occb = tables["occb"]
+        octet_vols = tables["octet_vols"]
+        octet_scales = tables["octet_scales"]
+        src_quad = tables["src_quad"]
+        feat_quad = tables["feat_quad"]
+        out_sh = pre["out_sh"]
+
+        # (5) occupancy cull (:270-283). The reference keeps points whose
+        # trilinear occupancy sample is > 0, i.e. any corner of the point's
+        # cell is occupied. Equivalent-or-looser single-tap form: one-voxel
+        # dilation of the binary occupancy, nearest-neighbor lookup — 1
+        # byte-sized gather per point instead of 8 float taps (the cull is
+        # conservative: keeping a superset only adds a few points
+        # downstream). Candidate positions are computed per-ray affinely so
+        # no (ray_cap * S, 3) point buffers are materialized.
+        t_grid = jnp.linspace(0.0, 1.0, S)
+        z_grid = near[:, None] * (1.0 - t_grid) + far[:, None] * t_grid  # (R,S)
+        pts_grid = rays_o[:, None, :] + rays_d[:, None, :] * z_grid[..., None]
+        dhw_vox = self.points_to_dhw_vox(pts_grid, batch).reshape(
+            nr, S, 3
+        )
+        size1 = out_sh // 2
+        pos1 = dhw_vox / out_sh.astype(jnp.float32) * (size1 - 1).astype(
+            jnp.float32
+        )
+
+        D1c, H1c, W1c = occb.shape
+        cell = jnp.round(pos1).astype(jnp.int32)
+        inb = jnp.all((cell >= 0) & (cell < size1), axis=-1)
+        cellc = jnp.clip(cell, 0, jnp.asarray([D1c - 1, H1c - 1, W1c - 1]))
+        flat_idx = (cellc[..., 0] * H1c + cellc[..., 1]) * W1c + cellc[..., 2]
+        ok = (
+            (occb.reshape(-1)[flat_idx] > 0) & inb & ray_ok[:, None]
+        )  # (ray_cap, S)
+        if stop_stage == "cull_occ":
+            return ({"dbg": ok.sum()}, None)
+
+        # per-ray rank compaction: slot k of a ray holds the sample index of
+        # its (k+1)-th occupied sample (sentinel S when fewer). Keeping the
+        # NEAREST K survivors drops the farthest — occluded behind the front
+        # surface (transmittance ~0) — samples first.
+        cum = jnp.cumsum(ok.astype(jnp.int32), axis=1)  # (R, S)
+        slot_idx = (cum[:, :, None] <= jnp.arange(K)[None, None, :]).sum(
+            axis=1, dtype=jnp.int32
+        )  # (R, K); == S when the ray has <= k survivors
+        slot_valid = slot_idx < S
+        perray_overflow = jnp.maximum(cum[:, -1] - K, 0).sum()
+
+        # global compaction to sigma_cap, SLOT-major: overflow drops the
+        # deepest slot uniformly across rays (graceful degradation) instead
+        # of whole image regions
+        sig_idx_t, sig_ok, sig_overflow = _compact(
+            slot_valid.T.reshape(-1), sig_cap
+        )
+        P = nr * K
+        k_of = jnp.minimum(sig_idx_t, P - 1) // nr
+        r_of = jnp.minimum(sig_idx_t, P - 1) % nr
+        sig_flat = jnp.where(sig_ok, r_of * K + k_of, P)
+
+        # recompute compacted points from per-ray tables (ray_cap-row
+        # gathers) instead of gathering rows of big (R*S, 3) buffers
+        s_of = slot_idx[r_of, k_of]
+        t_of = jnp.minimum(s_of, S - 1).astype(jnp.float32) / (S - 1)
+        z_of = near[r_of] * (1.0 - t_of) + far[r_of] * t_of
+        pts_c = rays_o[r_of] + rays_d[r_of] * z_of[:, None]
+        dhw_c = self.points_to_dhw_vox(pts_c, batch)
+        if stop_stage == "cull_compact":
+            return ({"dbg": pts_c.sum() + dhw_c.sum()}, None)
+
+        # project + gather only for survivors (demo projector.compute :284)
+        Hsrc, Wsrc = batch["src_imgs"].shape[1:3]
+        rgb_feat, view_mask = project_and_gather_quad(
+            pts_c, pre["KE"], src_quad, feat_quad, Hsrc, Wsrc, neg_ray=neg_ray
+        )  # (sigma_cap, V, C+3), (sigma_cap, V)
+        if stop_stage == "cull":
+            return ({"dbg": rgb_feat.sum().astype(jnp.float32) + view_mask.sum()}, None)
+
+        # (6) density (:294-314)
+        sigma_feat = apply(
+            lambda m, *a, **kw: m.sigmahead.query_sigma_feat_octet(*a, **kw),
+            octet_vols, dhw_c, out_sh,
+        ) if octet_scales is None else self.nerfhead.apply(
+            head_vars, octet_vols, dhw_c, out_sh, scales=octet_scales,
+            method=lambda m, *a, **kw: m.sigmahead.query_sigma_feat_octet(*a, **kw),
+        )  # (sigma_cap, 64)
+        if stop_stage == "sigma_q":
+            return ({"dbg": sigma_feat.sum().astype(jnp.float32)}, None)
+        mean, var = fused_mean_variance(rgb_feat)  # (sigma_cap, 1, C+3)
+        num_valid_obs = view_mask.sum(axis=-1, keepdims=True)
+        sigma = apply(
+            lambda m, *a: m.rgbhead.density(*a),
+            sigma_feat, mean[:, 0], var[:, 0], num_valid_obs,
+        )[:, 0]
+        sigma = jnp.where(sig_ok, sigma.astype(jnp.float32), 0.0)
+        alpha = 1.0 - jnp.exp(-sigma)
+        if stop_stage == "sigma":
+            return ({"dbg": alpha.sum()}, None)
+
+        # (7) color head on the sigma frame, alpha-masked (:316-333). The
+        # reference compacts alpha>1e-14 survivors before its color MLP; in
+        # the rectangular frame the masked points get weight 0 in the
+        # composite anyway, and running the MLP on the full sigma frame is
+        # cheaper than a third nonzero + three row-gathers + an extra
+        # scatter on this runtime.
+        rgb = apply(
+            lambda m, *a: m.rgbhead.color(*a),
+            rgb_feat[:, None],
+            mean[:, None],
+            var[:, None],
+        )[:, 0].astype(jnp.float32)  # (sigma_cap, 3); composite in f32
+        alpha_live = (alpha > 1e-14) & sig_ok
+        rgb_overflow = jnp.int32(0)  # no rgb compaction under masking
+        if stop_stage == "rgb":
+            return ({"dbg": rgb.sum()}, None)
+
+        # (8) scatter into the (ray, K) frame + composite (:334-353). Slots
+        # are ordered by ascending sample index == traversal order, so the
+        # shifted-cumprod transmittance runs directly over the K axis.
+        hold_alpha = (
+            jnp.zeros((P,)).at[sig_flat].set(alpha, mode="drop")
+        )
+        rgb_point_idx = jnp.where(alpha_live, sig_flat, P)
+        hold_rgb = jnp.zeros((P, 3)).at[rgb_point_idx].set(rgb, mode="drop")
+        alpha_rk = hold_alpha.reshape(nr, K)
+        T = shifted_transmittance(alpha_rk)
+        weights = alpha_rk * T
+        rgb_map = jnp.sum(
+            weights[..., None] * hold_rgb.reshape(nr, K, 3), axis=1
+        )
+        rgb_map = jnp.where(ray_ok[:, None], rgb_map, 0.0)
+        stats = {
+            "perray_overflow": perray_overflow,
+            "sig_overflow": sig_overflow,
+            "n_sigma": slot_valid.sum(),
+            "n_rgb": alpha_live.sum(),
+        }
+        return rgb_map, stats
+
+    def _frame_stage(self, variables, batch, featmaps, stop_stage=None):
+        """Per-frame stages (1)-(4): volume, occupancy, packed gather
+        tables, tight AABB, pixel splat, ray extraction, near/far. Returns
+        (pre, tables, rays) — or a {"dbg": ...} checksum dict for a
+        stop_stage prefix. `rays` arrays are full-ray_cap; a multi-chip
+        wrapper slices them across the mesh (parallel/dp.py)."""
         neg_ray = self.neg_ray_val
         head_vars = variables["head"]
         apply = lambda method, *a: self.nerfhead.apply(head_vars, *a, method=method)
-
+        Himg, Wimg = batch["tar_img"].shape[0:2]
         src_unnorm = batch["src_imgs"] * 0.5 + 0.5
         pre = self.prepare_frame(batch, featmaps, neg_ray=neg_ray)
         Himg, Wimg = batch["tar_img"].shape[0:2]
@@ -276,25 +431,7 @@ class Renderer(BaseRenderer):
         if stop_stage == "rays":
             return {"dbg": near.sum() + far.sum() + ray_ok.sum()}
 
-        # (5) occupancy cull (:270-283). The reference keeps points whose
-        # trilinear occupancy sample is > 0, i.e. any corner of the point's
-        # cell is occupied. Equivalent-or-looser single-tap form: one-voxel
-        # dilation of the binary occupancy, nearest-neighbor lookup — 1
-        # byte-sized gather per point instead of 8 float taps (the cull is
-        # conservative: keeping a superset only adds a few points
-        # downstream). Candidate positions are computed per-ray affinely so
-        # no (ray_cap * S, 3) point buffers are materialized.
-        t_grid = jnp.linspace(0.0, 1.0, S)
-        z_grid = near[:, None] * (1.0 - t_grid) + far[:, None] * t_grid  # (R,S)
-        pts_grid = rays_o[:, None, :] + rays_d[:, None, :] * z_grid[..., None]
-        dhw_vox = self.points_to_dhw_vox(pts_grid, batch).reshape(
-            self.ray_cap, S, 3
-        )
-        size1 = out_sh // 2
-        pos1 = dhw_vox / out_sh.astype(jnp.float32) * (size1 - 1).astype(
-            jnp.float32
-        )
-
+        # occupancy-cull byte volume (one-voxel dilated; see _ray_pipeline)
         if self.tight_cull:
             cull_vol = occupancy_volume(level_feats, grids, levels=(0,))
         else:
@@ -303,111 +440,45 @@ class Renderer(BaseRenderer):
         for ax in range(3):
             occb = occb | jnp.roll(occb, 1, axis=ax) | jnp.roll(occb, -1, axis=ax)
         occb = occb.astype(jnp.uint8)  # byte gathers: 4x less random traffic
-        D1c, H1c, W1c = occb.shape
-        cell = jnp.round(pos1).astype(jnp.int32)
-        inb = jnp.all((cell >= 0) & (cell < size1), axis=-1)
-        cellc = jnp.clip(cell, 0, jnp.asarray([D1c - 1, H1c - 1, W1c - 1]))
-        flat_idx = (cellc[..., 0] * H1c + cellc[..., 1]) * W1c + cellc[..., 2]
-        ok = (
-            (occb.reshape(-1)[flat_idx] > 0) & inb & ray_ok[:, None]
-        )  # (ray_cap, S)
-        if stop_stage == "cull_occ":
-            return {"dbg": ok.sum()}
+        tables = {
+            "occb": occb,
+            "octet_vols": octet_vols,
+            "octet_scales": octet_scales,
+            "src_quad": src_quad,
+            "feat_quad": feat_quad,
+        }
+        return pre, tables, {
+            "rays_o": rays_o,
+            "rays_d": rays_d,
+            "near": near,
+            "far": far,
+            "ray_ok": ray_ok,
+            "pix_idx": pix_idx,
+            "ray_overflow": ray_overflow,
+            "can_bounds": can_bounds,
+        }
 
-        # per-ray rank compaction: slot k of a ray holds the sample index of
-        # its (k+1)-th occupied sample (sentinel S when fewer). Keeping the
-        # NEAREST K survivors drops the farthest — occluded behind the front
-        # surface (transmittance ~0) — samples first.
-        cum = jnp.cumsum(ok.astype(jnp.int32), axis=1)  # (R, S)
-        slot_idx = (cum[:, :, None] <= jnp.arange(K)[None, None, :]).sum(
-            axis=1, dtype=jnp.int32
-        )  # (R, K); == S when the ray has <= k survivors
-        slot_valid = slot_idx < S
-        perray_overflow = jnp.maximum(cum[:, -1] - K, 0).sum()
-
-        # global compaction to sigma_cap, SLOT-major: overflow drops the
-        # deepest slot uniformly across rays (graceful degradation) instead
-        # of whole image regions
-        sig_idx_t, sig_ok, sig_overflow = _compact(
-            slot_valid.T.reshape(-1), self.sigma_cap
+    def _demo_impl(self, variables, batch, featmaps, stop_stage=None):
+        """Full single-chip progressive render: frame stage + ray pipeline +
+        image assembly. stop_stage (static) truncates for profiling."""
+        out = self._frame_stage(variables, batch, featmaps, stop_stage=stop_stage)
+        if isinstance(out, dict):
+            return out  # stage checksum
+        pre, tables, rd = out
+        Himg, Wimg = batch["tar_img"].shape[0:2]
+        oob = Himg * Wimg
+        pix_idx = rd["pix_idx"]
+        ray_ok = rd["ray_ok"]
+        rgb_map, stats = self._ray_pipeline(
+            variables["head"], batch, pre, tables,
+            rd["rays_o"], rd["rays_d"], rd["near"], rd["far"], ray_ok,
+            stop_stage=stop_stage,
         )
-        P = self.ray_cap * K
-        k_of = jnp.minimum(sig_idx_t, P - 1) // self.ray_cap
-        r_of = jnp.minimum(sig_idx_t, P - 1) % self.ray_cap
-        sig_flat = jnp.where(sig_ok, r_of * K + k_of, P)
-
-        # recompute compacted points from per-ray tables (ray_cap-row
-        # gathers) instead of gathering rows of big (R*S, 3) buffers
-        s_of = slot_idx[r_of, k_of]
-        t_of = jnp.minimum(s_of, S - 1).astype(jnp.float32) / (S - 1)
-        z_of = near[r_of] * (1.0 - t_of) + far[r_of] * t_of
-        pts_c = rays_o[r_of] + rays_d[r_of] * z_of[:, None]
-        dhw_c = self.points_to_dhw_vox(pts_c, batch)
-        if stop_stage == "cull_compact":
-            return {"dbg": pts_c.sum() + dhw_c.sum()}
-
-        # project + gather only for survivors (demo projector.compute :284)
-        Hsrc, Wsrc = batch["src_imgs"].shape[1:3]
-        rgb_feat, view_mask = project_and_gather_quad(
-            pts_c, pre["KE"], src_quad, feat_quad, Hsrc, Wsrc, neg_ray=neg_ray
-        )  # (sigma_cap, V, C+3), (sigma_cap, V)
-        if stop_stage == "cull":
-            return {"dbg": rgb_feat.sum().astype(jnp.float32) + view_mask.sum()}
-
-        # (6) density (:294-314)
-        sigma_feat = apply(
-            lambda m, *a, **kw: m.sigmahead.query_sigma_feat_octet(*a, **kw),
-            octet_vols, dhw_c, out_sh,
-        ) if octet_scales is None else self.nerfhead.apply(
-            head_vars, octet_vols, dhw_c, out_sh, scales=octet_scales,
-            method=lambda m, *a, **kw: m.sigmahead.query_sigma_feat_octet(*a, **kw),
-        )  # (sigma_cap, 64)
-        if stop_stage == "sigma_q":
-            return {"dbg": sigma_feat.sum().astype(jnp.float32)}
-        mean, var = fused_mean_variance(rgb_feat)  # (sigma_cap, 1, C+3)
-        num_valid_obs = view_mask.sum(axis=-1, keepdims=True)
-        sigma = apply(
-            lambda m, *a: m.rgbhead.density(*a),
-            sigma_feat, mean[:, 0], var[:, 0], num_valid_obs,
-        )[:, 0]
-        sigma = jnp.where(sig_ok, sigma.astype(jnp.float32), 0.0)
-        alpha = 1.0 - jnp.exp(-sigma)
-        if stop_stage == "sigma":
-            return {"dbg": alpha.sum()}
-
-        # (7) color head on the sigma frame, alpha-masked (:316-333). The
-        # reference compacts alpha>1e-14 survivors before its color MLP; in
-        # the rectangular frame the masked points get weight 0 in the
-        # composite anyway, and running the MLP on the full sigma frame is
-        # cheaper than a third nonzero + three row-gathers + an extra
-        # scatter on this runtime.
-        rgb = apply(
-            lambda m, *a: m.rgbhead.color(*a),
-            rgb_feat[:, None],
-            mean[:, None],
-            var[:, None],
-        )[:, 0].astype(jnp.float32)  # (sigma_cap, 3); composite in f32
-        alpha_live = (alpha > 1e-14) & sig_ok
-        rgb_overflow = jnp.int32(0)  # no rgb compaction under masking
-        if stop_stage == "rgb":
-            return {"dbg": rgb.sum()}
-
-        # (8) scatter into the (ray, K) frame + composite (:334-353). Slots
-        # are ordered by ascending sample index == traversal order, so the
-        # shifted-cumprod transmittance runs directly over the K axis.
-        hold_alpha = (
-            jnp.zeros((P,)).at[sig_flat].set(alpha, mode="drop")
-        )
-        rgb_point_idx = jnp.where(alpha_live, sig_flat, P)
-        hold_rgb = jnp.zeros((P, 3)).at[rgb_point_idx].set(rgb, mode="drop")
-        alpha_rk = hold_alpha.reshape(self.ray_cap, K)
-        T = shifted_transmittance(alpha_rk)
-        weights = alpha_rk * T
-        rgb_map = jnp.sum(
-            weights[..., None] * hold_rgb.reshape(self.ray_cap, K, 3), axis=1
-        )
-        rgb_map = jnp.where(ray_ok[:, None], rgb_map, 0.0)
-
+        if stats is None:
+            return rgb_map  # the pipeline returned a stage checksum dict
+        perray_overflow = stats["perray_overflow"]
+        sig_overflow = stats["sig_overflow"]
+        rgb_overflow = jnp.int32(0)  # color head is alpha-masked, no cap
         pred_flat = (
             jnp.zeros((Himg * Wimg, 3))
             .at[jnp.where(ray_ok, pix_idx, oob)]
@@ -425,18 +496,14 @@ class Renderer(BaseRenderer):
             "ray_pix_idx": pix_idx,
             "ray_ok": ray_ok,
             "overflows": jnp.stack(
-                [ray_overflow, perray_overflow, sig_overflow, rgb_overflow]
+                [rd["ray_overflow"], perray_overflow, sig_overflow, rgb_overflow]
             ),
             # occupancy statistics for cap tuning: rays / sigma points /
             # color points actually used this frame
             "counts": jnp.stack(
-                [
-                    ray_ok.sum(),
-                    slot_valid.sum(),
-                    alpha_live.sum(),
-                ]
+                [ray_ok.sum(), stats["n_sigma"], stats["n_rgb"]]
             ),
-            "can_bounds": can_bounds,
+            "can_bounds": rd["can_bounds"],
         }
 
     # ------------------------------------------------------------------
