@@ -261,7 +261,11 @@ class HumanNVSDataset:
         if self.mask_bkgd:
             img = img.copy()
             img[msk == 0] = 0
-        tar_img = img.copy()
+        # images ship as raw uint8 (exactly what was on disk): host->device
+        # transfer is the train-step bottleneck on tunneled runtimes and the
+        # device-side (x/255 - 0.5)/0.5 recovers the float frame exactly
+        # (render/base.src_norm)
+        tar_img = np.round(img * 255.0).astype(np.uint8)
 
         # SMPL
         xyz_world, Rh_mat, Th = self.load_smpl(seq, frame_id)
@@ -314,7 +318,7 @@ class HumanNVSDataset:
             sK = np.asarray(cams["K"][cam_ind], np.float32)
             sR = np.asarray(cams["R"][cam_ind], np.float32)
             sT = np.asarray(cams["T"][cam_ind], np.float32).reshape(3, 1)
-            src_imgs.append(((simg - 0.5) / 0.5).astype(np.float32))
+            src_imgs.append(np.round(simg * 255.0).astype(np.uint8))
             src_poses.append(np.concatenate([sR, sT], axis=-1))
             src_Ks.append(sK)
 
@@ -325,7 +329,7 @@ class HumanNVSDataset:
             # ray_valid mask is the per-ray box mask
             mask_at_box = padded["ray_valid"] > 0
         ret = {
-            "tar_img": tar_img.astype(np.float32),
+            "tar_img": tar_img,
             "feature": feature,
             "coord": coord,
             "out_sh": out_sh,

@@ -112,6 +112,10 @@ def build_host_pyramid(
     caps = [int(site_cap)] + [int(c) for c in level_caps]
     while len(caps) < n_levels + 1:
         caps.append(caps[-1])
+    # ship tables as int16 when row ids fit: the pyramid is ~6 MB/item in
+    # int32 and host->device transfer is the train bottleneck; the device
+    # casts back to int32 inside the jitted step (free)
+    idt = np.int16 if (max(caps) < 32000 and max(shape) < 32000) else np.int32
     shapes = [tuple(int(v) >> i for v in shape) for i in range(n_levels + 1)]
 
     out: Dict[str, np.ndarray] = {}
@@ -166,7 +170,7 @@ def build_host_pyramid(
         n = len(coords_i)
         nv = min(n, cap)
         overflows.append(max(n - cap, 0))
-        padded = np.full((cap, 3), sh, np.int32)
+        padded = np.full((cap, 3), sh, idt)
         padded[:nv] = coords_i[:cap]
         valid = np.zeros((cap,), bool)
         valid[:nv] = True
@@ -180,7 +184,7 @@ def build_host_pyramid(
         offs = _halo_offsets(sh)
 
         # subm neighbor table at this level (valid rows only; padding -1)
-        nbr = np.full((cap, 27), -1, np.int32)
+        nbr = np.full((cap, 27), -1, idt)
         nbr[:nv] = buf[base[:, None] + offs[None]]
         out[f"lvl{i}_nbr"] = nbr
 
@@ -192,14 +196,14 @@ def build_host_pyramid(
             cap_o = caps[i + 1]
             co = level_coords[i + 1]
             no = min(len(co), cap_o)
-            down = np.full((cap_o, 27), -1, np.int32)
+            down = np.full((cap_o, 27), -1, idt)
             base_o = _halo_flat(co[:no] * 2, sh)
             down[:no] = buf[base_o[:, None] + offs[None]]
             out[f"lvl{i + 1}_down"] = down
 
         buf[base] = -1  # reset touched entries only
 
-    vr = np.full((caps[0],), -1, np.int32)
+    vr = np.full((caps[0],), -1, idt)
     vr[: min(len(vertex_rows), caps[0])] = vertex_rows[: caps[0]]
     out["vertex_rows"] = vr
     out["pyramid_overflows"] = np.asarray(overflows, np.int32)

@@ -161,7 +161,7 @@ class CustomDataset(HumanNVSDataset):
             img[msk == 0] = 0
         K = K.copy()
         K[:2] *= self.ratio
-        tar_img = img.copy()
+        tar_img = np.round(img * 255.0).astype(np.uint8)
 
         # SMPL: camera coords -> world (:247-254); world == SMPL coords
         xyz = np.load(
@@ -209,7 +209,7 @@ class CustomDataset(HumanNVSDataset):
                 simg[smsk == 0] = 0
             sK = sK.copy()
             sK[:2] *= self.ratio
-            src_imgs.append(((simg - 0.5) / 0.5).astype(np.float32))
+            src_imgs.append(np.round(simg * 255.0).astype(np.uint8))
             src_poses.append(
                 np.concatenate([sR, sT.reshape(3, 1)], axis=-1).astype(np.float32)
             )
@@ -218,7 +218,7 @@ class CustomDataset(HumanNVSDataset):
         target_pose = np.concatenate([R, T.reshape(3, 1)], axis=-1).astype(np.float32)
         H, W = img.shape[:2]
         ret = {
-            "tar_img": tar_img.astype(np.float32),
+            "tar_img": tar_img,
             "feature": feature,
             "coord": coord,
             "out_sh": out_sh,

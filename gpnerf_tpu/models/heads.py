@@ -207,17 +207,30 @@ class NeRFHead(nn.Module):
         fused = self.sigmahead.fuse_codes(smpl_feat)
         return self.sigmahead.volume_features(fused, vertex_rows, levels, train=train)
 
-    def point_forward(self, dense_vols, dhw_vox, out_sh_dyn, rgb_feat, mask):
-        """Query + MLP heads for one ray chunk, against the dense per-level
-        feature volumes materialized once per frame (numerically identical
-        to the reference's `.dense()` + grid_sample, SparseConvNet.py:105-124).
+    def point_forward(self, query_ctx, dhw_vox, out_sh_dyn, rgb_feat, mask):
+        """Query + MLP heads for one ray chunk. `query_ctx` selects the
+        multi-scale query backing (numerically identical to the reference's
+        `.dense()` + grid_sample, SparseConvNet.py:105-124, either way):
+          {"dense": [4 x (D,H,W,C) volumes]} — inference (one big gather);
+          {"sparse": (level_feats, index_vols, shapes)} — training (keeps
+          gradients on the ~20k-row sparse matrices; materializing dense
+          volumes inside the differentiated step cost ~240 ms/it).
 
         dhw_vox: (N_rays*N_samples, 3); rgb_feat: (N_rays, N_samples, V, C+3).
         Returns (raw (N_rays, N_samples, 4), rgb_in)."""
         n_rays, n_samples = rgb_feat.shape[:2]
-        sigma_feat = self.sigmahead.query_sigma_feat_dense(
-            dense_vols, dhw_vox, out_sh_dyn
-        ).reshape(n_rays, n_samples, -1)
+        if "dense" in query_ctx:
+            feats = self.sigmahead.xyzc_net.query_dense(
+                query_ctx["dense"], dhw_vox, out_sh_dyn
+            )
+        else:
+            level_feats, index_vols, shapes = query_ctx["sparse"]
+            feats = self.sigmahead.xyzc_net.query_sparse(
+                level_feats, index_vols, shapes, dhw_vox, out_sh_dyn
+            )
+        sigma_feat = self.sigmahead.out_geometry_fc(feats).reshape(
+            n_rays, n_samples, -1
+        )
         rgb_in, rgb, sigma = self.rgbhead(rgb_feat, sigma_feat, mask)
         raw = jnp.concatenate([rgb, sigma], axis=-1)
         return raw, rgb_in
@@ -233,7 +246,9 @@ class NeRFHead(nn.Module):
             scatter_dense(level_feats[i], levels[i + 1])
             for i in range(len(level_feats))
         ]
-        return self.point_forward(dense_vols, dhw_vox, out_sh_dyn, rgb_feat, mask)
+        return self.point_forward(
+            {"dense": dense_vols}, dhw_vox, out_sh_dyn, rgb_feat, mask
+        )
 
 
 def build_head(cfg):

@@ -127,6 +127,27 @@ class SparseConvNet(nn.Module):
             level_feats.append(x)
         return level_feats
 
+    def query_sparse(self, level_feats, index_vols, shapes, dhw_vox,
+                     out_sh_dyn):
+        """Multi-scale trilinear query through per-level index volumes
+        (training path: keeps gradients on the ~20k-row sparse feature
+        matrices instead of differentiating through dense volume
+        materialization)."""
+        from gpnerf_tpu.ops.sparse_conv import trilinear_sparse_rows
+
+        outs = []
+        frac = dhw_vox / out_sh_dyn.astype(dhw_vox.dtype)
+        for i in range(self.n_layers):
+            size = out_sh_dyn // (2 ** (i + 1))
+            pos = frac * (size - 1).astype(dhw_vox.dtype)
+            outs.append(
+                trilinear_sparse_rows(
+                    level_feats[i], index_vols[i], shapes[i], pos,
+                    dyn_size=size,
+                )
+            )
+        return jnp.concatenate(outs, axis=-1)
+
     def query_octet(self, octet_vols, dhw_vox, out_sh_dyn, scales=None):
         """Multi-scale trilinear query through packed octet tables
         (ops.grid_sample.build_octet_table_3d): one row-gather per (point,

@@ -283,6 +283,48 @@ def derive_level_tables(grids) -> list:
     return levels
 
 
+def build_index_volume(coords, valid, shape):
+    """Dense voxel -> row-id volume (-1 empty) for a level's active rows.
+    Level coords are unique by construction (host pyramid / stride dedup),
+    so a plain scatter suffices. A few small scatters per frame — cheap in
+    a jitted step, and the sparse trilinear query through it avoids
+    materializing (and differentiating through) dense feature volumes."""
+    D, H, W = shape
+    cap = coords.shape[0]
+    safe = jnp.where(valid[:, None], coords, jnp.asarray([D, H, W], coords.dtype))
+    vol = jnp.full((D, H, W), -1, jnp.int32)
+    return vol.at[safe[:, 0], safe[:, 1], safe[:, 2]].set(
+        jnp.arange(cap, dtype=jnp.int32), mode="drop"
+    )
+
+
+def trilinear_sparse_rows(feats, index_vol, shape, pos, dyn_size=None):
+    """Trilinear query of sparse rows through an index volume (zeros
+    padding; same semantics as trilinear_sparse_gather, free of the
+    SparseGrid wrapper)."""
+    d0 = jnp.floor(pos)
+    w1 = pos - d0
+    w0 = 1.0 - w1
+    base = d0.astype(jnp.int32)
+    size = (
+        jnp.asarray(shape, jnp.int32) if dyn_size is None
+        else dyn_size.astype(jnp.int32)
+    )
+    out = 0.0
+    for sel in itertools.product((0, 1), repeat=3):
+        corner = base + jnp.asarray(sel, dtype=jnp.int32)
+        inb = jnp.all((corner >= 0) & (corner < size), axis=-1)
+        idx = _lookup(index_vol, corner, shape)
+        idx = jnp.where(inb, idx, jnp.int32(-1))
+        w = (
+            (w1[:, 0] if sel[0] else w0[:, 0])
+            * (w1[:, 1] if sel[1] else w0[:, 1])
+            * (w1[:, 2] if sel[2] else w0[:, 2])
+        )
+        out = out + _gather_rows(feats, idx) * w[:, None]
+    return out
+
+
 def trilinear_sparse_gather(feats, grid: SparseGrid, pos, dyn_size=None):
     """Trilinear query of a sparse level at absolute voxel positions.
 

@@ -101,8 +101,11 @@ def make_dp_eval_render(renderer, mesh, axis: str = "dp"):
             rays["near"][0],
             rays["far"][0],
         )
-        featmaps = renderer.encoder.apply(variables["encoder"], batch["src_imgs"])
-        src_unnorm = batch["src_imgs"] * 0.5 + 0.5
+        from gpnerf_tpu.render.base import src_norm
+
+        src = src_norm(batch["src_imgs"])
+        featmaps = renderer.encoder.apply(variables["encoder"], src)
+        src_unnorm = src * 0.5 + 0.5
         pre = renderer.prepare_frame(batch, featmaps, neg_ray=renderer.neg_ray_val)
         level_feats = renderer.nerfhead.apply(
             variables["head"],
@@ -112,9 +115,9 @@ def make_dp_eval_render(renderer, mesh, axis: str = "dp"):
             train=False,
             method="volume",
         )
-        dense_vols = renderer.materialize_dense(level_feats, pre["grids"])
+        query_ctx = renderer.sparse_query_ctx(level_feats, pre["grids"])
         out = renderer.render_chunk(
-            variables["head"], dense_vols, pre, batch, src_unnorm, featmaps,
+            variables["head"], query_ctx, pre, batch, src_unnorm, featmaps,
             ro, rd, nr, fr, neg_ray=renderer.neg_ray_val, perturb=False,
         )
         return {"rgb_map": out["rgb_map"][None], "acc_map": out["acc_map"][None]}
@@ -159,8 +162,10 @@ def make_dp_demo_render(renderer, mesh, axis: str = "dp"):
     sl = renderer.ray_cap // n_dev
 
     def device_fn(variables, batch):
+        from gpnerf_tpu.render.base import src_norm
+
         featmaps = renderer.encoder.apply(
-            variables["encoder"], batch["src_imgs"]
+            variables["encoder"], src_norm(batch["src_imgs"])
         )
         out = renderer._frame_stage(variables, batch, featmaps)
         pre, tables, rd = out

@@ -34,6 +34,20 @@ from gpnerf_tpu.ops.rays import sample_points, sample_z_vals
 from gpnerf_tpu.registry import register
 
 
+def src_norm(imgs):
+    """Source images to the normalized float frame ((x/255 - 0.5) / 0.5).
+
+    The data pipeline ships images as raw uint8 (what was on disk) because
+    host->device transfer is the training bottleneck on tunneled runtimes —
+    uint8 quarters the batch bytes and the conversion is exact (images were
+    uint8 originally) and free inside the jitted step. Float batches (tests,
+    round-1 callers) pass through unchanged.
+    """
+    if imgs.dtype == jnp.uint8:
+        return imgs.astype(jnp.float32) / 127.5 - 1.0
+    return imgs
+
+
 def homogenize(mat34_or_33, batch_dims=1):
     """(..., 3, 4) pose or (..., 3, 3) K -> (..., 4, 4)."""
     shape = mat34_or_33.shape
@@ -103,8 +117,9 @@ class Renderer:
 
     def _init_variables_impl(self, rng, batch) -> Dict[str, Any]:
         r1, r2 = jax.random.split(rng)
-        enc_vars = self.encoder.init(r1, jnp.asarray(batch["src_imgs"]))
-        featmaps = self.encoder.apply(enc_vars, jnp.asarray(batch["src_imgs"]))
+        src = src_norm(jnp.asarray(batch["src_imgs"]))
+        enc_vars = self.encoder.init(r1, src)
+        featmaps = self.encoder.apply(enc_vars, src)
         pre = self.prepare_frame({k: jnp.asarray(v) for k, v in batch.items()}, featmaps)
         n = min(self.n_rays, 8)
         dummy_pts = jnp.zeros((n * self.n_samples, 3))
@@ -144,17 +159,18 @@ class Renderer:
         if "lvl0_coords" in batch:
             # host-built pyramid + conv rulebooks (data/sparse_host.py):
             # the device does zero scatter/nonzero work for grid geometry
+            i32 = lambda x: None if x is None else x.astype(jnp.int32)
             levels = [
                 SparseLevel(
-                    batch[f"lvl{i}_coords"],
+                    i32(batch[f"lvl{i}_coords"]),
                     batch[f"lvl{i}_valid"],
-                    batch[f"lvl{i}_nbr"],
-                    batch.get(f"lvl{i}_down"),
+                    i32(batch[f"lvl{i}_nbr"]),
+                    i32(batch.get(f"lvl{i}_down")),
                     shapes[i],
                 )
                 for i in range(5)
             ]
-            vertex_rows = batch["vertex_rows"]
+            vertex_rows = batch["vertex_rows"].astype(jnp.int32)
             overflows = batch["pyramid_overflows"]
         else:
             # device fallback (tiny synthetic batches, unit tests)
@@ -185,11 +201,27 @@ class Renderer:
     def materialize_dense(self, level_feats, levels):
         """Dense per-level feature volumes — the reference's `.dense()`
         cache (SparseConvNet.encode, SparseConvNet.py:126-143), built once
-        per frame; all queries gather rows from these."""
+        per frame; inference queries gather rows from these."""
         return [
             scatter_dense(level_feats[i], levels[i + 1])
             for i in range(len(level_feats))
         ]
+
+    def sparse_query_ctx(self, level_feats, levels):
+        """Training/eval query context: per-level index volumes (4 small
+        scatters) + the sparse feature matrices. Keeps autodiff on the
+        ~20k-row matrices — materializing dense volumes inside the
+        differentiated train step cost ~240 ms/it."""
+        from gpnerf_tpu.ops.sparse_conv import build_index_volume
+
+        index_vols = [
+            build_index_volume(
+                levels[i + 1].coords, levels[i + 1].valid, levels[i + 1].shape
+            )
+            for i in range(len(level_feats))
+        ]
+        shapes = tuple(levels[i + 1].shape for i in range(len(level_feats)))
+        return {"sparse": (level_feats, index_vols, shapes)}
 
     def points_to_dhw_vox(self, pts, batch):
         """World points -> canonical -> level-0 voxel units (dhw), the
@@ -204,7 +236,7 @@ class Renderer:
         return (dhw - min_dhw) / vs
 
     def render_chunk(
-        self, head_vars, dense_vols, pre, batch, src_unnorm, featmaps,
+        self, head_vars, query_ctx, pre, batch, src_unnorm, featmaps,
         rays_o, rays_d, near, far, *, neg_ray, perturb, rng=None
     ):
         """One ray chunk through sampling -> gather -> heads -> compositing
@@ -225,7 +257,7 @@ class Renderer:
 
         raw, rgb_in = self.nerfhead.apply(
             head_vars,
-            dense_vols,
+            query_ctx,
             dhw_vox,
             pre["out_sh"],
             rgb_feat,
@@ -250,8 +282,9 @@ class Renderer:
         """Training forward: one frame, n_rays rays, volume built once.
         Returns (ret, updated_batch_stats)."""
         neg_ray = self.neg_ray_train
-        featmaps = self.encoder.apply(variables["encoder"], batch["src_imgs"])
-        src_unnorm = batch["src_imgs"] * 0.5 + 0.5
+        src = src_norm(batch["src_imgs"])
+        featmaps = self.encoder.apply(variables["encoder"], src)
+        src_unnorm = src * 0.5 + 0.5
         pre = self.prepare_frame(batch, featmaps, neg_ray=neg_ray)
 
         head_vars = variables["head"]
@@ -264,10 +297,10 @@ class Renderer:
             method="volume",
             mutable=["batch_stats"],
         )
-        dense_vols = self.materialize_dense(level_feats, pre["grids"])
+        query_ctx = self.sparse_query_ctx(level_feats, pre["grids"])
         ret = self.render_chunk(
             {"params": head_vars["params"], **mutated},
-            dense_vols, pre, batch, src_unnorm, featmaps,
+            query_ctx, pre, batch, src_unnorm, featmaps,
             batch["ray_o"], batch["ray_d"], batch["near"], batch["far"],
             neg_ray=neg_ray, perturb=True, rng=rng,
         )
@@ -284,8 +317,9 @@ class Renderer:
         @jax.jit
         def _eval(variables, batch):
             neg_ray = self.neg_ray_val
-            featmaps = self.encoder.apply(variables["encoder"], batch["src_imgs"])
-            src_unnorm = batch["src_imgs"] * 0.5 + 0.5
+            src = src_norm(batch["src_imgs"])
+            featmaps = self.encoder.apply(variables["encoder"], src)
+            src_unnorm = src * 0.5 + 0.5
             pre = self.prepare_frame(batch, featmaps, neg_ray=neg_ray)
             level_feats = self.nerfhead.apply(
                 variables["head"],
@@ -301,12 +335,12 @@ class Renderer:
             n_chunks = ray_cap // chunk
             assert n_chunks * chunk == ray_cap, "eval_ray_cap % eval_chunk != 0"
 
-            dense_vols = self.materialize_dense(level_feats, pre["grids"])
+            query_ctx = self.sparse_query_ctx(level_feats, pre["grids"])
 
             def body(args):
                 ro, rd, nr_, fr_ = args
                 out = self.render_chunk(
-                    variables["head"], dense_vols, pre, batch, src_unnorm,
+                    variables["head"], query_ctx, pre, batch, src_unnorm,
                     featmaps, ro, rd, nr_, fr_,
                     neg_ray=neg_ray, perturb=False,
                 )
@@ -357,7 +391,9 @@ class Renderer:
 
         @jax.jit
         def vol_fn(variables, batch):
-            featmaps = self.encoder.apply(variables["encoder"], batch["src_imgs"])
+            featmaps = self.encoder.apply(
+                variables["encoder"], src_norm(batch["src_imgs"])
+            )
             pre = self.prepare_frame(batch, featmaps, neg_ray=self.neg_ray_val)
             level_feats = self.nerfhead.apply(
                 variables["head"], pre["smpl_feat"], pre["vertex_rows"],
@@ -376,7 +412,7 @@ class Renderer:
             )
             H, W = batch["src_imgs"].shape[1:3]
             rgb_feat, vm = project_and_gather(
-                pts, KE, batch["src_imgs"] * 0.5 + 0.5, featmaps, H, W,
+                pts, KE, src_norm(batch["src_imgs"]) * 0.5 + 0.5, featmaps, H, W,
                 neg_ray=self.neg_ray_val,
             )
             mean, var = fused_mean_variance(rgb_feat)

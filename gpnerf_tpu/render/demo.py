@@ -97,9 +97,11 @@ class Renderer(BaseRenderer):
         """Encoder as its own jit (the reference times it separately as
         `etime`, demo_render.py:442-445,494-497)."""
         if self._encoder_jit is None:
+            from gpnerf_tpu.render.base import src_norm
+
             self._encoder_jit = jax.jit(
                 lambda variables, imgs: self.encoder.apply(
-                    variables["encoder"], imgs
+                    variables["encoder"], src_norm(imgs)
                 )
             )
         return self._encoder_jit
@@ -288,7 +290,9 @@ class Renderer(BaseRenderer):
         head_vars = variables["head"]
         apply = lambda method, *a: self.nerfhead.apply(head_vars, *a, method=method)
         Himg, Wimg = batch["tar_img"].shape[0:2]
-        src_unnorm = batch["src_imgs"] * 0.5 + 0.5
+        from gpnerf_tpu.render.base import src_norm
+
+        src_unnorm = src_norm(batch["src_imgs"]) * 0.5 + 0.5
         pre = self.prepare_frame(batch, featmaps, neg_ray=neg_ray)
         Himg, Wimg = batch["tar_img"].shape[0:2]
         grids = pre["grids"]
@@ -515,8 +519,10 @@ class Renderer(BaseRenderer):
         if getattr(self, "_demo_fused", None) is None:
             @jax.jit
             def fused(variables, batch):
+                from gpnerf_tpu.render.base import src_norm
+
                 featmaps = self.encoder.apply(
-                    variables["encoder"], batch["src_imgs"]
+                    variables["encoder"], src_norm(batch["src_imgs"])
                 )
                 return self._demo_impl(variables, batch, featmaps)
 

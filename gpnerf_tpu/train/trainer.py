@@ -108,9 +108,36 @@ class Trainer:
         params, batch_stats = split_variables(self.variables)
         # Per-step loss fetches would synchronize host<->device every
         # iteration (the reference does, BaseTrainer.py:121-127; fine over
-        # PCIe, ruinous over a networked device). Metrics stay on device and
-        # are fetched in one batched sync every print_freq iterations —
-        # including the non-finite-loss abort check, at the same cadence.
+        # PCIe, ruinous over a networked device where one fetch costs
+        # seconds). Metrics stay on device, are batched every print_freq
+        # iterations, and the device_get runs on a BACKGROUND thread so the
+        # dispatch loop never blocks; the non-finite-loss abort check rides
+        # the same thread with at most a print_freq lag.
+        import queue as _queue
+        import threading
+
+        fetch_q: "_queue.Queue" = _queue.Queue(maxsize=4)
+        abort_loss = [None]
+
+        def _fetch_worker():
+            while True:
+                item = fetch_q.get()
+                if item is None:
+                    return
+                it_count, batch_metrics = item
+                for m in jax.device_get(batch_metrics):
+                    loss_value = float(m["loss"])
+                    if not math.isfinite(loss_value):
+                        abort_loss[0] = loss_value
+                        return
+                    metric_logger.update(
+                        loss=loss_value,
+                        lr=float(self.lr_schedule(it_count)),
+                        **{k: float(v) for k, v in m.items() if k != "loss"},
+                    )
+
+        fetcher = threading.Thread(target=_fetch_worker, daemon=True)
+        fetcher.start()
         pending = []
         for data in metric_logger.log_every(train_loader, print_freq, header, self.logger):
             if isinstance(data, list):
@@ -135,23 +162,16 @@ class Trainer:
                 )
             pending.append(metrics)
             self.iter_count += 1
+            if abort_loss[0] is not None:
+                self.logger.info(
+                    "Loss is {}, stopping training".format(abort_loss[0])
+                )
+                sys.exit(1)
             if len(pending) >= print_freq or (
                 self.iter_count % self.cfg.train.valiter_interval == 0
             ):
-                fetched = jax.device_get(pending)
+                fetch_q.put((self.iter_count, pending))
                 pending = []
-                for m in fetched:
-                    loss_value = float(m["loss"])
-                    if not math.isfinite(loss_value):
-                        self.logger.info(
-                            "Loss is {}, stopping training".format(loss_value)
-                        )
-                        sys.exit(1)
-                    metric_logger.update(
-                        loss=loss_value,
-                        lr=float(self.lr_schedule(self.iter_count)),
-                        **{k: float(v) for k, v in m.items() if k != "loss"},
-                    )
             if (
                 self.rank == 0
                 and self.iter_count % self.cfg.train.valiter_interval == 0
@@ -163,12 +183,13 @@ class Trainer:
                     self.writer.add_scalar(self.PI, performance, self.iter_count)
                 self.logger.info("Now: {} is {:.4f}".format(self.PI, performance))
 
-        for m in jax.device_get(pending):  # flush the tail
-            metric_logger.update(
-                loss=float(m["loss"]),
-                lr=float(self.lr_schedule(self.iter_count)),
-                **{k: float(v) for k, v in m.items() if k != "loss"},
-            )
+        if pending:  # flush the tail
+            fetch_q.put((self.iter_count, pending))
+        fetch_q.put(None)
+        fetcher.join()
+        if abort_loss[0] is not None:
+            self.logger.info("Loss is {}, stopping training".format(abort_loss[0]))
+            sys.exit(1)
         self.variables = merge_variables(params, batch_stats)
         train_stats = {k: m.global_avg for k, m in metric_logger.meters.items()}
         log_stats = {
@@ -356,7 +377,11 @@ class Trainer:
             np.asarray(batch["rgb"])[:n, :3], mask_at_box, H, W
         )
 
-        src_imgs = np.asarray(batch["src_imgs"]) * 0.5 + 0.5  # (V, H, W, 3)
+        src_imgs = np.asarray(batch["src_imgs"])  # (V, H, W, 3)
+        if src_imgs.dtype == np.uint8:
+            src_imgs = src_imgs.astype(np.float32) / 255.0
+        else:
+            src_imgs = src_imgs * 0.5 + 0.5
         vis = np.hstack([*src_imgs, gt_img, pred_img])
         vis = resize(
             vis.astype(np.float32), (vis.shape[1] // 2, vis.shape[0] // 2), "area"
