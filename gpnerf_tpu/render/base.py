@@ -20,7 +20,6 @@ distance-free alpha compositing (:75-107), THuman neg_ray flips.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import jax

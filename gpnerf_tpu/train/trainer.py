@@ -23,7 +23,6 @@ from gpnerf_tpu.data.loader import data_loop
 from gpnerf_tpu.ops.image import resize
 from gpnerf_tpu.registry import register
 from gpnerf_tpu.train.checkpoint import (
-    load_checkpoint,
     optax_to_numpy,
     pack_state,
     save_checkpoint,
@@ -140,14 +139,26 @@ class Trainer:
         fetcher.start()
         pending = []
         for data in metric_logger.log_every(train_loader, print_freq, header, self.logger):
+            if isinstance(data, list) and len(data) == 1:
+                data = data[0]
+            if isinstance(data, list) and len(data) != self.dp:
+                # loader batch does not match the mesh (e.g. a non-dp-aware
+                # sampler): reconcile by stepping the frames sequentially
+                # through the single-device path instead of crashing
+                # mid-epoch (tools/train.py sizes the loader to the mesh;
+                # this is the fallback for custom drivers)
+                for sub in data[:-1]:
+                    batch = to_device(sub)
+                    self.rng, step_rng = jax.random.split(self.rng)
+                    params, batch_stats, self.opt_state, metrics = self._step(
+                        params, batch_stats, self.opt_state, batch, step_rng
+                    )
+                    pending.append(metrics)
+                data = data[-1]
             if isinstance(data, list):
                 # one frame per device: shard_map DP step (parallel/dp.py)
                 from gpnerf_tpu.parallel.dp import stack_batches
 
-                assert len(data) == self.dp, (
-                    f"loader batch {len(data)} != dp mesh {self.dp}; set "
-                    "tpu.dp_size to match the loader batch size"
-                )
                 batches = {k: jnp.asarray(v) for k, v in stack_batches(data).items()}
                 self.rng, step_rng = jax.random.split(self.rng)
                 rngs = jax.random.split(step_rng, len(data))
