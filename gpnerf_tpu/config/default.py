@@ -137,6 +137,12 @@ cfg.test.save_imgs = True
 cfg.test.test_seq = "CoreView_315"
 cfg.test.is_vis = False
 cfg.test.mesh_th = 50
+# emit the reference-shaped 10-slot per-stage timing dict
+# (demo_render.py:97-357 time_slots) via the demo renderer's stage-prefix
+# profile() before evaluation; off by default — each extra profiled program
+# pays a ~30 ms dispatch round-trip on a networked runtime, so inline
+# per-frame timing is served by this opt-in instead
+cfg.test.profile = False
 
 
 # ---------------------------------------------------------------------------

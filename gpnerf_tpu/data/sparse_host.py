@@ -48,16 +48,25 @@ def _flat(coords, shape):
 # +-1-neighbor query (k=3 convs never reach further), so neighbor lookups
 # need no bounds masks at all — this is the per-item hot path (~2M
 # queries/frame) and bounds reductions dominated the numpy profile.
-_IDX_CACHE: dict = {}
+# THREAD-LOCAL: two thread-prefetch DataLoaders in one process (train loader
+# still prefetching while the eval loader runs at valiter_interval) would
+# otherwise fill/reset the same numpy buffer concurrently (numpy releases
+# the GIL) and silently corrupt neighbor/down tables.
+import threading as _threading
+
+_IDX_CACHE = _threading.local()
 
 
 def _halo_buffer(shape):
+    cache = getattr(_IDX_CACHE, "bufs", None)
+    if cache is None:
+        cache = _IDX_CACHE.bufs = {}
     key = tuple(int(v) + 2 for v in shape)
     n = key[0] * key[1] * key[2]
-    buf = _IDX_CACHE.get(key)
+    buf = cache.get(key)
     if buf is None or buf.size != n:
         buf = np.full(n, -1, np.int32)
-        _IDX_CACHE[key] = buf
+        cache[key] = buf
     return buf
 
 
@@ -114,8 +123,14 @@ def build_host_pyramid(
         caps.append(caps[-1])
     # ship tables as int16 when row ids fit: the pyramid is ~6 MB/item in
     # int32 and host->device transfer is the train bottleneck; the device
-    # casts back to int32 inside the jitted step (free)
-    idt = np.int16 if (max(caps) < 32000 and max(shape) < 32000) else np.int32
+    # casts back to int32 inside the jitted step (free). vertex_rows indexes
+    # the INPUT vertex array, so len(coord) must fit too (SMPL is 6,890
+    # verts; the guard keeps arbitrary vertex sets from silently wrapping).
+    idt = (
+        np.int16
+        if (max(caps) < 32000 and max(shape) < 32000 and len(coord) < 32000)
+        else np.int32
+    )
     shapes = [tuple(int(v) >> i for v in shape) for i in range(n_levels + 1)]
 
     out: Dict[str, np.ndarray] = {}

@@ -180,19 +180,24 @@ def make_dp_demo_render(renderer, mesh, axis: str = "dp"):
             sl1(rd["rays_o"]), sl1(rd["rays_d"]), sl1(rd["near"]),
             sl1(rd["far"]), sl1(rd["ray_ok"]),
         )
-        overflows = jnp.stack(
+        # per-shard counters SUM across the mesh (each shard counts its own
+        # slice of rays/points); ray_overflow comes from the replicated
+        # frame stage and is taken locally — dividing a psum by n_dev here
+        # would under-report real per-slice overflows by the mesh size
+        per_shard = jnp.stack(
             [
-                rd["ray_overflow"],
+                jnp.int32(0),
                 stats["perray_overflow"],
                 stats["sig_overflow"],
                 jnp.int32(0),
             ]
         )
+        overflows = jax.lax.psum(per_shard, axis).at[0].set(rd["ray_overflow"])
         return (
             rgb_map[None],
             sl1(rd["pix_idx"])[None],
             sl1(rd["ray_ok"])[None],
-            jax.lax.psum(overflows, axis)[None] // jnp.int32(n_dev),
+            overflows[None],
         )
 
     sharded = jax.shard_map(

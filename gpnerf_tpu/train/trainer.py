@@ -154,6 +154,10 @@ class Trainer:
                         params, batch_stats, self.opt_state, batch, step_rng
                     )
                     pending.append(metrics)
+                    # each sub-frame is a real optimizer step: count it so
+                    # the lr schedule / valiter cadence / logged step stay
+                    # true (the final frame is counted by the main path)
+                    self.iter_count += 1
                 data = data[-1]
             if isinstance(data, list):
                 # one frame per device: shard_map DP step (parallel/dp.py)
@@ -342,9 +346,13 @@ class Trainer:
                 self._etime_frame0 = ret["etime"]
                 total_etime += ret["etime"]
             elif is_demo:
+                # fused-program wall time INCLUDES the encoder; subtract the
+                # frame-0 split estimate so rtime matches the reference's
+                # encoder-exclusive semantics (demo_render.py:494-497) and
+                # avg etime + avg rtime don't double-count the encoder
                 t0 = time.time()
                 ret = jax.block_until_ready(render_fn(self.variables, batch))
-                rtime = time.time() - t0
+                rtime = max(time.time() - t0 - self._etime_frame0, 0.0)
                 total_etime += self._etime_frame0
             else:
                 t0 = time.time()
@@ -364,9 +372,15 @@ class Trainer:
         avg = total_time / max(count, 1)
         if is_demo:
             print(
-                f"avg encoder time: {total_etime / max(count, 1)}s per sample"
+                "avg encoder time (frame-0 split estimate): "
+                f"{total_etime / max(count, 1)}s per sample"
             )
-        print(f"avg total render time: {avg}s per sample")
+            print(
+                "avg total render time (encoder excluded via frame-0 "
+                f"estimate): {avg}s per sample"
+            )
+        else:
+            print(f"avg total render time: {avg}s per sample")
         return metrics, avg
 
     # ------------------------------------------------------------------

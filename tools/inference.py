@@ -75,6 +75,26 @@ def main():
         rank=0,
         variables=variables,
     )
+    if cfg.test.profile and hasattr(render, "profile"):
+        # reference-shaped per-stage timing (demo_render.py:97-357
+        # time_slots; printed like misc/BaseTrainer's eval harness would)
+        import json
+
+        first = None
+        for data in eval_loader:
+            first = {k: jax.numpy.asarray(v) for k, v in data.items()}
+            break
+        if first is not None:
+            prof = render.profile(variables, first)
+            logger.info(
+                "time_slots: %s", json.dumps(
+                    {k: round(float(v), 4) for k, v in prof["time_slots"].items()}
+                )
+            )
+            logger.info(
+                "etime: %.4f rtime: %.4f", prof["etime"], prof["rtime"]
+            )
+
     result_path = os.path.join(cfg.result_dir, cfg.test.test_seq)
     trainer.evaluate(eval_loader, result_path, cfg.test.is_vis)
 
