@@ -135,52 +135,104 @@ def main():
             hv = {"params": hv["params"], **warm(hv)}
         variables = {"encoder": variables["encoder"], "head": hv}
 
-    fn = render.render_demo_fn()
     dev_batches = [
         {k: jnp.asarray(v) for k, v in b.items()} for b in host_batches
     ]
 
-    # compile + 2 warmup renders
-    ret = jax.block_until_ready(fn(variables, dev_batches[0]))
-    jax.block_until_ready(fn(variables, dev_batches[1 % n_frames]))
-    overflows = np.asarray(ret["overflows"]).tolist()
+    def run_mode(render_m, cfg_m):
+        """Time the progressive renderer + measure full-protocol PSNR/SSIM
+        (Evaluator semantics, if_nerf.py:49-83) on the bench frames."""
+        fn = render_m.render_demo_fn()
+        jax.block_until_ready(fn(variables, dev_batches[0]))  # compile
+        jax.block_until_ready(fn(variables, dev_batches[1 % n_frames]))
+        t0 = time.time()
+        rets = [fn(variables, b) for b in dev_batches]
+        jax.block_until_ready(rets[-1])
+        dt = time.time() - t0
+        # hard-cap overflows / counts across ALL frames (per-ray K drops
+        # are the designed graceful path and reported separately)
+        all_over = np.stack([np.asarray(r["overflows"]) for r in rets])
+        all_counts = np.stack(
+            [np.asarray(r.get("counts", [0, 0, 0])) for r in rets]
+        )
+        from gpnerf_tpu.train.evaluator import Evaluator
 
-    t0 = time.time()
-    rets = [fn(variables, b) for b in dev_batches]
-    jax.block_until_ready(rets[-1])
-    dt = time.time() - t0
-    fps = n_frames / dt
-    # hard-cap overflows checked across ALL frames (per-ray K drops are the
-    # designed graceful path and reported separately)
-    all_over = np.stack([np.asarray(r["overflows"]) for r in rets])
-    overflows = all_over.max(axis=0).tolist()
-    all_counts = np.stack([np.asarray(r.get("counts", [0, 0, 0])) for r in rets])
+        ev = Evaluator(cfg_m, "bench")
+        for r, b in zip(rets, host_batches):
+            ev.evaluate({"pred_img": np.asarray(r["pred_img"])}, b)
+        return {
+            "fps": n_frames / dt,
+            "ms_per_frame": dt / n_frames * 1000.0,
+            "overflows": all_over.max(axis=0).tolist(),
+            "counts_max": all_counts.max(axis=0).tolist(),
+            "counts_mean": all_counts.mean(axis=0).tolist(),
+            "psnr": float(np.mean(ev.psnr)),
+            "ssim": float(np.mean(ev.ssim)),
+        }
+
+    fast = run_mode(render, cfg)
 
     # MFU vs v5e peak (197 TFLOPS bf16); analytic FLOPs exclude gathers, so
     # low MFU quantifies how gather/dispatch-bound the pipeline is
-    mean_counts = all_counts.mean(axis=0)
     flops = analytic_flops_per_frame(
-        512, 512, mean_counts, code_dim=cfg.head.sigma.code_dim
+        512, 512, fast["counts_mean"], code_dim=cfg.head.sigma.code_dim
     )
-    peak = 197e12
-    mfu = flops * fps / peak
+    mfu = flops * fast["fps"] / 197e12
+    fast_line = {
+        "metric": "synthetic-body 512x512 progressive render",
+        "value": round(fast["fps"], 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fast["fps"] / 20.0, 3),
+        "mfu": round(mfu, 5),
+        "psnr": round(fast["psnr"], 3),
+        "ssim": round(fast["ssim"], 4),
+    }
+    print(json.dumps(fast_line), flush=True)
     print(
-        json.dumps(
-            {
-                "metric": "synthetic-body 512x512 progressive render",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / 20.0, 3),
-                "mfu": round(mfu, 5),
-            }
-        )
-    )
-    counts = all_counts.max(axis=0).tolist()
-    print(
-        f"# {dt / n_frames * 1000:.1f} ms/frame; max overflows(ray,perrayK,sigma,rgb)={overflows}; "
-        f"max counts(rays,sigma,rgb)={counts}; device={jax.devices()[0].device_kind}",
+        f"# {fast['ms_per_frame']:.1f} ms/frame; max overflows(ray,perrayK,sigma,rgb)="
+        f"{fast['overflows']}; max counts(rays,sigma,rgb)={fast['counts_max']}; "
+        f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
+
+    # Reference-semantics mode (VERDICT r2 #3): exact demo_render.py:270-283
+    # cull — sum-over-levels occupancy blanket, all 64 kept samples, raised
+    # caps — benchmarked every round alongside the speed defaults so
+    # speed-mode drift from reference quality stays visible. Reported as a
+    # '#'-prefixed JSON (the driver parses the single bare JSON line above)
+    # and persisted with the fast mode in BENCH_MODES.json.
+    if os.environ.get("BENCH_REF", "1") != "0":
+        cfg_ref = cfg.clone()
+        cfg_ref.defrost()
+        cfg_ref.tpu.tight_cull = False
+        cfg_ref.tpu.samples_per_ray = 64
+        cfg_ref.tpu.tap_window = 0
+        cfg_ref.tpu.ray_cap = 49152
+        cfg_ref.tpu.sigma_cap = 1048576
+        cfg_ref.tpu.rgb_cap = 1048576
+        cfg_ref.freeze()
+        render_ref = get("render", cfg_ref.render.file)(cfg_ref)
+        ref = run_mode(render_ref, cfg_ref)
+        ref_line = {
+            "metric": "reference-cull-semantics 512x512 progressive render",
+            "value": round(ref["fps"], 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(ref["fps"] / 20.0, 3),
+            "psnr": round(ref["psnr"], 3),
+            "ssim": round(ref["ssim"], 4),
+        }
+        print("# ref-mode " + json.dumps(ref_line), flush=True)
+        print(
+            f"# ref-mode {ref['ms_per_frame']:.1f} ms/frame; max overflows="
+            f"{ref['overflows']}; max counts={ref['counts_max']}",
+            file=sys.stderr,
+        )
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_MODES.json"), "w"
+        ) as f:
+            json.dump({"fast": {**fast_line, **fast},
+                       "reference_semantics": {**ref_line, **ref}}, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -167,16 +167,19 @@ cfg.tpu.max_out_sh = [96, 384, 384]
 # drops farthest samples; global compaction drops the deepest slot) and is
 # reported per frame in the render output's `overflows`.
 cfg.tpu.ray_cap = 32768
-cfg.tpu.sigma_cap = 262144
+cfg.tpu.sigma_cap = 294912
 cfg.tpu.rgb_cap = 196608
 # per-ray cap on occupancy-surviving samples (of the reference's 64-sample
 # grid): the progressive renderer keeps each ray's nearest K survivors in a
 # rectangular (ray, K) frame before the global sigma_cap compaction.
 # Overflow drops the farthest (occluded behind the front surface) samples
-# of that ray first and is reported per frame. Full-60-frame sweep on the
-# trained model: K=16 and K=24 give IDENTICAL PSNR/SSIM to 5 decimals
-# (22.7027 / 0.92558) — the dropped deep slots carry no visible weight.
-cfg.tpu.samples_per_ray = 16
+# of that ray first and is reported per frame. Full-60-frame sweeps on the
+# trained model at 512^2 (round 3, W=32 window): K=12 -> PSNR 22.670 with
+# ZERO sigma-cap overflow across the set (K*ray demand fits sigma_cap);
+# K=14 + sigma_cap 294912 -> 22.691 with ZERO sigma drops (the shipped
+# combination); K=12 -> 22.670 drop-free at cap 262144; K=16/24 (round 2,
+# no window) -> 22.703 but with worst-frame sigma-cap drops.
+cfg.tpu.samples_per_ray = 14
 # cull against level-1-only occupancy (tight body shell) instead of the
 # reference's sum-over-levels field whose coarse levels blanket ~8 cm around
 # the body. Full-60-frame sweep on the trained synthetic model at 512^2
@@ -187,6 +190,14 @@ cfg.tpu.samples_per_ray = 16
 # the true surface samples. To run exact reference cull semantics set
 # tight_cull False AND samples_per_ray 64 (and raise ray/sigma caps).
 cfg.tpu.tight_cull = True
+# occupancy-tap window W (0 = off): tap only W consecutive samples of the
+# reference 64-grid starting at each ray's splat-derived front depth (minus
+# a 3-voxel margin) instead of all 64 candidates — candidates more than W
+# samples behind the front surface are occluded (transmittance ~0, the same
+# argument as samples_per_ray). Cuts the dominant tap-gather count 64/W.
+# Full-60-frame sweep on the trained model at 512^2 (round 3): PSNR 22.681
+# (W=32) vs 22.685 (off) / SSIM 0.92342 vs 0.92476; W=24 loses 0.016 dB.
+cfg.tpu.tap_window = 32
 # BaseRender full-image eval: padded capacity for all bound-mask rays
 cfg.tpu.eval_ray_cap = 131072
 # eval chunk size (rays per lax.map step on the BaseRender eval path)
@@ -194,8 +205,19 @@ cfg.tpu.eval_chunk = 8192
 # uint8-quantize the demo renderer's octet feature tables (per-channel
 # scales; post-ReLU activations): halves the dominant random-gather bytes
 cfg.tpu.quantize_volume = True
+# merge levels 2-4 into ONE combined octet table at level-2 resolution
+# (coarse fields resampled by dense separable matmuls once per frame):
+# the multi-scale point query drops from 4 random gathers to 2. Full-set
+# sweep (round 3, with W=32/K=12): 22.677 PSNR vs 22.670 unmerged —
+# reinterpolation of the smooth coarse features is quality-neutral.
+cfg.tpu.merge_coarse_octet = True
 # matmul precision: 'bfloat16' or 'float32'
 cfg.tpu.matmul_dtype = "bfloat16"
+# training compute precision for the BaseRender train step: 'float32'
+# (default, exact reference numerics) or 'bfloat16' (mixed precision:
+# f32 master params / optimizer state / norm statistics, bf16 matmuls and
+# convs; compositing and the loss always run f32)
+cfg.tpu.train_dtype = "float32"
 # mesh axis name + size for data parallelism (-1 = all devices)
 cfg.tpu.dp_axis = "dp"
 cfg.tpu.dp_size = -1

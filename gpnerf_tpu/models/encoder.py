@@ -81,11 +81,17 @@ class ResUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        assert self.encoder in ("resnet18", "resnet34"), (
+        assert self.encoder in ("resnet18", "resnet34", "tiny"), (
             "only BasicBlock encoders are reachable in the reference "
-            "(UNet.py:154 hard-codes BasicBlock)"
+            "(UNet.py:154 hard-codes BasicBlock); 'tiny' ([1,1,1] blocks) "
+            "is a test-only variant that cuts orchestration-test compile "
+            "time — never used by production configs"
         )
-        layers = [3, 4, 6, 3] if self.encoder == "resnet34" else [2, 2, 2, 2]
+        layers = {
+            "resnet34": [3, 4, 6, 3],
+            "resnet18": [2, 2, 2, 2],
+            "tiny": [1, 1, 1, 1],
+        }[self.encoder]
         dt = self.compute_dtype
 
         # stem: 7x7 s2 reflect conv, IN, relu (UNet.py:160-162)

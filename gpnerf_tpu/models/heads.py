@@ -104,10 +104,17 @@ class NeRFSigmaHead(nn.Module):
     def query_sigma_feat_octet(self, octet_vols, dhw_vox, out_sh_dyn,
                                scales=None):
         """Octet-table variant (demo hot path); optional uint8 tables with
-        per-level dequantization scales."""
-        feats = self.xyzc_net.query_octet(
-            octet_vols, dhw_vox, out_sh_dyn, scales=scales
-        )
+        per-level dequantization scales. Two tables = the merged-coarse
+        layout (query_octet2), four = one per level."""
+        if len(octet_vols) == 2:
+            feats = self.xyzc_net.query_octet2(
+                octet_vols[0], octet_vols[1], dhw_vox, out_sh_dyn,
+                scales=scales,
+            )
+        else:
+            feats = self.xyzc_net.query_octet(
+                octet_vols, dhw_vox, out_sh_dyn, scales=scales
+            )
         return self.out_geometry_fc(feats)
 
     def __call__(self, smpl_feat, vertex_rows, levels, dhw_vox, out_sh_dyn,

@@ -169,6 +169,30 @@ class SparseConvNet(nn.Module):
             )
         return jnp.concatenate(outs, axis=-1)
 
+    def query_octet2(self, octet_l1, octet_coarse, dhw_vox, out_sh_dyn,
+                     scales=None):
+        """TWO-gather multi-scale query: the level-1 octet plus a combined
+        [l2|l3|l4] 96-channel octet at level-2 resolution (the coarse
+        levels' align-corners fields resampled onto the level-2 grid by
+        ops.grid_sample.resample_volume_to — dense MXU matmuls once per
+        frame). Halves the per-point random-gather count of query_octet;
+        the resample is a reinterpolation of the smooth coarse features
+        (quality-validated by the full-set sweep)."""
+        from gpnerf_tpu.ops.grid_sample import trilinear_octet_rows
+
+        frac = dhw_vox / out_sh_dyn.astype(dhw_vox.dtype)
+        outs = []
+        for i, tab in enumerate((octet_l1, octet_coarse)):
+            size = out_sh_dyn // (2 ** (i + 1))
+            pos = frac * (size - 1).astype(dhw_vox.dtype)
+            sc = None if scales is None else scales[i]
+            outs.append(
+                trilinear_octet_rows(
+                    tab, pos, size, scale=sc, out_dtype=self.compute_dtype
+                )
+            )
+        return jnp.concatenate(outs, axis=-1)
+
     def query_dense(self, dense_vols, dhw_vox, out_sh_dyn):
         """Multi-scale trilinear query against materialized dense per-level
         volumes (the demo path scatters them once per frame; direct row

@@ -228,6 +228,47 @@ def build_octet_table_3d(vol):
     return jnp.concatenate(parts, axis=-1)
 
 
+def _axis_resample_matrix(n_out_max, n_in_max, n_out_dyn, n_in_dyn,
+                          dtype=jnp.float32):
+    """(n_out_max, n_in_max) interpolation matrix M with
+    M[j] = linear-interp weights of position j*(n_in_dyn-1)/(n_out_dyn-1)
+    (align_corners mapping between the two grids); rows j >= n_out_dyn and
+    columns >= n_in_dyn are zero. Applying it along an axis reproduces a
+    trilinear resample of a coarse align-corners field onto a finer grid as
+    one MXU matmul instead of per-voxel gathers."""
+    j = jnp.arange(n_out_max, dtype=dtype)
+    ratio = (n_in_dyn - 1).astype(dtype) / jnp.maximum(
+        (n_out_dyn - 1).astype(dtype), 1.0
+    )
+    pos = j * ratio
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in_max - 1)
+    hi = jnp.minimum(lo + 1, n_in_dyn.astype(jnp.int32) - 1)
+    w1 = pos - lo.astype(dtype)
+    m = jnp.zeros((n_out_max, n_in_max), dtype)
+    rows = jnp.arange(n_out_max)
+    m = m.at[rows, lo].add(1.0 - w1)
+    m = m.at[rows, jnp.clip(hi, 0, n_in_max - 1)].add(w1)
+    valid = (j < n_out_dyn.astype(dtype))[:, None]
+    return m * valid
+
+
+def resample_volume_to(vol, out_shape_max, size_out_dyn, size_in_dyn):
+    """Trilinear-resample a (D, H, W, C) align-corners field onto a finer
+    grid (out_shape_max static buffer, size_out_dyn valid extent) via three
+    separable interpolation matmuls — dense MXU work, zero gathers."""
+    Do, Ho, Wo = out_shape_max
+    Dd, Hd, Wd = vol.shape[:3]
+    dt = jnp.float32
+    md = _axis_resample_matrix(Do, Dd, size_out_dyn[0], size_in_dyn[0], dt)
+    mh = _axis_resample_matrix(Ho, Hd, size_out_dyn[1], size_in_dyn[1], dt)
+    mw = _axis_resample_matrix(Wo, Wd, size_out_dyn[2], size_in_dyn[2], dt)
+    v = vol.astype(dt)
+    v = jnp.einsum("od,dhwc->ohwc", md, v)
+    v = jnp.einsum("ph,ohwc->opwc", mh, v)
+    v = jnp.einsum("qw,opwc->opqc", mw, v)
+    return v
+
+
 def quantize_volume_u8(vol, eps=1e-8):
     """Per-channel symmetric uint8 quantization of a non-negative feature
     volume (the sparse conv levels are post-ReLU). Returns (q (..., C) uint8,

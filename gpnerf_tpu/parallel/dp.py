@@ -178,7 +178,7 @@ def make_dp_demo_render(renderer, mesh, axis: str = "dp"):
         rgb_map, stats = renderer._ray_pipeline(
             variables["head"], batch, pre, tables,
             sl1(rd["rays_o"]), sl1(rd["rays_d"]), sl1(rd["near"]),
-            sl1(rd["far"]), sl1(rd["ray_ok"]),
+            sl1(rd["far"]), sl1(rd["ray_ok"]), zmin=sl1(rd["zmin"]),
         )
         # per-shard counters SUM across the mesh (each shard counts its own
         # slice of rays/points); ray_overflow comes from the replicated

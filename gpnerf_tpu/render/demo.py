@@ -45,7 +45,6 @@ import jax.numpy as jnp
 
 from gpnerf_tpu.models.heads import fused_mean_variance
 from gpnerf_tpu.models.sparse_net import occupancy_volume
-from gpnerf_tpu.ops.compositing import shifted_transmittance
 from gpnerf_tpu.ops.projection import project_and_gather_quad
 from gpnerf_tpu.ops.rays import pixel_rays, ray_aabb_near_far
 from gpnerf_tpu.registry import register
@@ -67,11 +66,22 @@ class Renderer(BaseRenderer):
 
     def __init__(self, *args, ray_cap=65536, sigma_cap=1048576, rgb_cap=262144,
                  occupancy_threshold=0.1, compute_dtype=None, tight_cull=False,
-                 samples_per_ray=24, quantize_volume=False, **kwargs):
+                 samples_per_ray=24, quantize_volume=False, tap_window=0,
+                 merge_coarse_octet=False, **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
         self.rgb_cap = int(rgb_cap)
+        # tap_window W (0 = off): occupancy-tap only W consecutive samples of
+        # the reference 64-grid starting at each ray's splat-derived front
+        # depth (per-pixel scatter-min of occupied-voxel camera depth) minus
+        # a 3-voxel margin, instead of tapping all 64 candidates. Sample
+        # POSITIONS stay on the reference grid; only candidates more than W
+        # samples behind the front surface are never tapped (they are
+        # occluded: transmittance collapses at the front shell, which is why
+        # the per-ray K-slot keep-nearest policy works at all). Cuts the
+        # dominant per-frame gather count (ray_cap*64 byte-taps) by 64/W.
+        self.tap_window = int(tap_window)
         self.occupancy_threshold = float(occupancy_threshold)
         self.compute_dtype = compute_dtype  # bf16 halves gather/MXU bytes
         # tight_cull: cull samples against the level-1-only occupancy (body
@@ -88,6 +98,7 @@ class Renderer(BaseRenderer):
         # level-1 table is the pipeline's dominant random-gather target and
         # the features are post-ReLU activations
         self.quantize_volume = bool(quantize_volume)
+        self.merge_coarse_octet = bool(merge_coarse_octet)
         self._demo_jit = None
         self._encoder_jit = None
         self._last_etime = 0.0
@@ -107,10 +118,15 @@ class Renderer(BaseRenderer):
         return self._encoder_jit
 
     # ------------------------------------------------------------------
+    _ZFAR = 1e9  # sentinel for pixels no occupied voxel splats onto
+
     def _splat_pixels(self, pts_w, row_ok, batch, Himg, Wimg):
         """Project world points into the target view and mark each one's 4
-        neighboring pixels (demo_render.py:179-199). Returns the flat pixel
-        occupancy mask (Himg*Wimg,) int32."""
+        neighboring pixels (demo_render.py:179-199). Also scatter-mins each
+        point's camera depth per pixel (the front-surface depth the windowed
+        occupancy tap starts from; camera depth == the ray's near/far
+        t-parameter because pixel_rays directions have unit camera z).
+        Returns (pixmask (Himg*Wimg,) int32, zmin (Himg*Wimg,) float32)."""
         tp = batch["target_pose"]  # (3, 4)
         tK = batch["target_K"]
         cam = pts_w @ tp[:, :3].T + tp[:, 3]
@@ -121,19 +137,27 @@ class Renderer(BaseRenderer):
         maxx = jnp.clip(minx + 1, 0, Wimg - 1)
         maxy = jnp.clip(miny + 1, 0, Himg - 1)
         pixmask = jnp.zeros((Himg * Wimg,), jnp.int32)
+        zmin = jnp.full((Himg * Wimg,), self._ZFAR, jnp.float32)
+        depth = jnp.where(row_ok, cam[:, 2], self._ZFAR).astype(jnp.float32)
         oob = Himg * Wimg
         for yy, xx in ((miny, minx), (maxy, minx), (miny, maxx), (maxy, maxx)):
             tgt = jnp.where(row_ok, yy * Wimg + xx, oob)
             pixmask = pixmask.at[tgt].set(1, mode="drop")
-        return pixmask
+            zmin = zmin.at[tgt].min(depth, mode="drop")
+        return pixmask, zmin
 
     def _ray_pipeline(self, head_vars, batch, pre, tables, rays_o, rays_d,
-                      near, far, ray_ok, stop_stage=None):
+                      near, far, ray_ok, zmin=None, stop_stage=None):
         """Stages (5)-(8) — occupancy cull, per-ray K-slot compaction,
         projection gather, density, color, composite — over a (possibly
         device-sharded) slice of rays. Point capacities scale with the
         slice so a mesh of N chips splits the per-point work N ways
-        (parallel/dp.make_dp_demo_render)."""
+        (parallel/dp.make_dp_demo_render).
+
+        All per-candidate tensors run TRANSPOSED (window/slot axis leading,
+        rays on the 128-lane axis): (R, W)-shaped buffers with W < 128 pad
+        the lane dimension 4-8x on TPU; (W, R) layouts keep the cumsum /
+        rank-compare / transmittance chains dense."""
         apply = lambda method, *a, **kw: self.nerfhead.apply(
             head_vars, *a, **kw, method=method
         )
@@ -149,64 +173,104 @@ class Renderer(BaseRenderer):
         feat_quad = tables["feat_quad"]
         out_sh = pre["out_sh"]
 
+        # windowed tap start: W consecutive grid samples from the splat
+        # front depth minus a 3-level-1-voxel margin (neg_ray flips the
+        # depth sign; the window is disabled there and W falls back to S)
+        use_window = (
+            0 < self.tap_window < S and not neg_ray and zmin is not None
+        )
+        W = max(self.tap_window, K) if use_window else S
+        if use_window:
+            dz = jnp.maximum((far - near) / (S - 1), 1e-9)
+            margin = 6.0 * jnp.float32(self.voxel_size[0])  # 3 lvl-1 voxels
+            s_lo = jnp.floor((zmin - margin - near) / dz).astype(jnp.int32)
+            s_lo = jnp.where(zmin > 1e8, 0, jnp.clip(s_lo, 0, S - W))
+        else:
+            s_lo = jnp.zeros((nr,), jnp.int32)
+        s_lo_f = s_lo.astype(jnp.float32)
+
         # (5) occupancy cull (:270-283). The reference keeps points whose
         # trilinear occupancy sample is > 0, i.e. any corner of the point's
         # cell is occupied. Equivalent-or-looser single-tap form: one-voxel
         # dilation of the binary occupancy, nearest-neighbor lookup — 1
         # byte-sized gather per point instead of 8 float taps (the cull is
         # conservative: keeping a superset only adds a few points
-        # downstream). Candidate positions are computed per-ray affinely so
-        # no (ray_cap * S, 3) point buffers are materialized.
-        t_grid = jnp.linspace(0.0, 1.0, S)
-        z_grid = near[:, None] * (1.0 - t_grid) + far[:, None] * t_grid  # (R,S)
-        pts_grid = rays_o[:, None, :] + rays_d[:, None, :] * z_grid[..., None]
-        dhw_vox = self.points_to_dhw_vox(pts_grid, batch).reshape(
-            nr, S, 3
-        )
+        # downstream). Candidate positions are computed per-ray affinely as
+        # (W, R) component planes — no (R*S, 3) point buffers, no trailing
+        # length-3 axes.
+        tT = (
+            s_lo_f[None, :]
+            + jnp.arange(W, dtype=jnp.float32)[:, None]
+        ) / jnp.float32(S - 1)  # (W, R) grid parameter s/(S-1)
+        zT = near[None, :] * (1.0 - tT) + far[None, :] * tT  # (W, R)
+        Rh = batch["Rh"]
+        Th = batch["Th"].reshape(3)
+        min_xyz = batch["bounds"][0]
+        vs_xyz = jnp.asarray(self.voxel_size, jnp.float32)
         size1 = out_sh // 2
-        pos1 = dhw_vox / out_sh.astype(jnp.float32) * (size1 - 1).astype(
-            jnp.float32
-        )
-
         D1c, H1c, W1c = occb.shape
-        cell = jnp.round(pos1).astype(jnp.int32)
-        inb = jnp.all((cell >= 0) & (cell < size1), axis=-1)
-        cellc = jnp.clip(cell, 0, jnp.asarray([D1c - 1, H1c - 1, W1c - 1]))
-        flat_idx = (cellc[..., 0] * H1c + cellc[..., 1]) * W1c + cellc[..., 2]
+        scale1 = (size1 - 1).astype(jnp.float32) / out_sh.astype(jnp.float32)
+        cap1 = jnp.asarray([D1c - 1, H1c - 1, W1c - 1])
+        cellT = []
+        inbT = jnp.full((W, nr), True)
+        for j in (2, 1, 0):  # dhw component j = canonical axis (2-j)
+            # world -> canonical -> level-0 voxel units -> level-1 cell,
+            # all as (W, R) planes (points_to_dhw_vox componentwise)
+            can_j = sum(
+                (rays_o[None, :, i] + rays_d[None, :, i] * zT - Th[i])
+                * Rh[i, 2 - j]
+                for i in range(3)
+            )
+            pos1_j = (can_j - min_xyz[2 - j]) / vs_xyz[2 - j] * scale1[j]
+            cell_j = jnp.round(pos1_j).astype(jnp.int32)
+            inbT = inbT & (cell_j >= 0) & (cell_j < size1[j])
+            cellT.append(jnp.clip(cell_j, 0, cap1[j]))
+        flat_idxT = (cellT[2] * H1c + cellT[1]) * W1c + cellT[0]
         ok = (
-            (occb.reshape(-1)[flat_idx] > 0) & inb & ray_ok[:, None]
-        )  # (ray_cap, S)
+            (occb.reshape(-1)[flat_idxT] > 0) & inbT & ray_ok[None, :]
+        )  # (W, R)
         if stop_stage == "cull_occ":
             return ({"dbg": ok.sum()}, None)
 
-        # per-ray rank compaction: slot k of a ray holds the sample index of
-        # its (k+1)-th occupied sample (sentinel S when fewer). Keeping the
-        # NEAREST K survivors drops the farthest — occluded behind the front
-        # surface (transmittance ~0) — samples first.
-        cum = jnp.cumsum(ok.astype(jnp.int32), axis=1)  # (R, S)
-        slot_idx = (cum[:, :, None] <= jnp.arange(K)[None, None, :]).sum(
-            axis=1, dtype=jnp.int32
-        )  # (R, K); == S when the ray has <= k survivors
-        slot_valid = slot_idx < S
-        perray_overflow = jnp.maximum(cum[:, -1] - K, 0).sum()
+        # per-ray rank compaction: slot k of a ray holds the WINDOW sample
+        # index of its (k+1)-th occupied sample (sentinel W when fewer).
+        # Keeping the NEAREST K survivors drops the farthest — occluded
+        # behind the front surface (transmittance ~0) — samples first.
+        cum = jnp.cumsum(ok.astype(jnp.int32), axis=0)  # (W, R)
+        slot_relT = (
+            cum[None, :, :]
+            <= jnp.arange(K, dtype=jnp.int32)[:, None, None]
+        ).sum(axis=1, dtype=jnp.int32)  # (K, R); == W when <= k survivors
+        slot_validT = slot_relT < W
+        perray_overflow = jnp.maximum(cum[-1] - K, 0).sum()
+        if stop_stage == "cull_slots":
+            return ({"dbg": slot_relT.sum() + perray_overflow}, None)
 
         # global compaction to sigma_cap, SLOT-major: overflow drops the
         # deepest slot uniformly across rays (graceful degradation) instead
         # of whole image regions
         sig_idx_t, sig_ok, sig_overflow = _compact(
-            slot_valid.T.reshape(-1), sig_cap
+            slot_validT.reshape(-1), sig_cap
         )
         P = nr * K
-        k_of = jnp.minimum(sig_idx_t, P - 1) // nr
-        r_of = jnp.minimum(sig_idx_t, P - 1) % nr
-        sig_flat = jnp.where(sig_ok, r_of * K + k_of, P)
+        idx_c = jnp.minimum(sig_idx_t, P - 1)
+        k_of = idx_c // nr
+        r_of = idx_c % nr
 
-        # recompute compacted points from per-ray tables (ray_cap-row
-        # gathers) instead of gathering rows of big (R*S, 3) buffers
-        s_of = slot_idx[r_of, k_of]
-        t_of = jnp.minimum(s_of, S - 1).astype(jnp.float32) / (S - 1)
-        z_of = near[r_of] * (1.0 - t_of) + far[r_of] * t_of
-        pts_c = rays_o[r_of] + rays_d[r_of] * z_of[:, None]
+        # recompute compacted points from per-ray tables: ONE packed-row
+        # gather (o, d, near, far, s_lo) + one slot gather per point,
+        # instead of five separate small gathers
+        ray_tab = jnp.concatenate(
+            [rays_o, rays_d, near[:, None], far[:, None], s_lo_f[:, None]],
+            axis=1,
+        )  # (R, 9) float32
+        rows9 = ray_tab[r_of]  # (sig_cap, 9)
+        s_rel = slot_relT.reshape(-1)[idx_c]
+        t_of = (rows9[:, 8] + jnp.minimum(s_rel, W - 1).astype(jnp.float32)) / (
+            S - 1
+        )
+        z_of = rows9[:, 6] * (1.0 - t_of) + rows9[:, 7] * t_of
+        pts_c = rows9[:, 0:3] + rows9[:, 3:6] * z_of[:, None]
         dhw_c = self.points_to_dhw_vox(pts_c, batch)
         if stop_stage == "cull_compact":
             return ({"dbg": pts_c.sum() + dhw_c.sum()}, None)
@@ -231,6 +295,11 @@ class Renderer(BaseRenderer):
             return ({"dbg": sigma_feat.sum().astype(jnp.float32)}, None)
         mean, var = fused_mean_variance(rgb_feat)  # (sigma_cap, 1, C+3)
         num_valid_obs = view_mask.sum(axis=-1, keepdims=True)
+        if stop_stage == "meanvar":
+            return (
+                {"dbg": mean.sum().astype(jnp.float32) + num_valid_obs.sum()},
+                None,
+            )
         sigma = apply(
             lambda m, *a: m.rgbhead.density(*a),
             sigma_feat, mean[:, 0], var[:, 0], num_valid_obs,
@@ -257,28 +326,63 @@ class Renderer(BaseRenderer):
         if stop_stage == "rgb":
             return ({"dbg": rgb.sum()}, None)
 
-        # (8) scatter into the (ray, K) frame + composite (:334-353). Slots
-        # are ordered by ascending sample index == traversal order, so the
-        # shifted-cumprod transmittance runs directly over the K axis.
-        hold_alpha = (
-            jnp.zeros((P,)).at[sig_flat].set(alpha, mode="drop")
+        # (8) scatter into the SLOT-major (K, ray) frame + composite
+        # (:334-353). Slots are ordered by ascending sample index ==
+        # traversal order, so the shifted-cumprod transmittance
+        # (BaseRender.py:94-95 semantics) runs over the leading K axis with
+        # rays on the 128-lane axis; the compacted indices sig_idx_t are
+        # already slot-major, so the scatter needs no index remap.
+        tgt = jnp.where(sig_ok, sig_idx_t, P)
+        hold_alpha = jnp.zeros((P,)).at[tgt].set(alpha, mode="drop")
+        rgb_tgt = jnp.where(alpha_live, sig_idx_t, P)
+        alpha_kr = hold_alpha.reshape(K, nr)
+        T = jnp.concatenate(
+            [
+                jnp.ones((1, nr)),
+                jnp.cumprod(1.0 - alpha_kr[:-1] + 1e-10, axis=0),
+            ],
+            axis=0,
         )
-        rgb_point_idx = jnp.where(alpha_live, sig_flat, P)
-        hold_rgb = jnp.zeros((P, 3)).at[rgb_point_idx].set(rgb, mode="drop")
-        alpha_rk = hold_alpha.reshape(nr, K)
-        T = shifted_transmittance(alpha_rk)
-        weights = alpha_rk * T
-        rgb_map = jnp.sum(
-            weights[..., None] * hold_rgb.reshape(nr, K, 3), axis=1
-        )
+        weights = alpha_kr * T  # (K, nr)
+        # per-channel (K, R) planes: a (K, R, 3) hold buffer puts 3 on the
+        # lane axis (43x pad) and its einsum relayout measured ~8 ms; three
+        # scalar scatters + plane multiplies are ~1 ms
+        chans = []
+        for c in range(3):
+            hc = jnp.zeros((P,)).at[rgb_tgt].set(rgb[:, c], mode="drop")
+            chans.append((weights * hc.reshape(K, nr)).sum(axis=0))
+        rgb_map = jnp.stack(chans, axis=-1)
         rgb_map = jnp.where(ray_ok[:, None], rgb_map, 0.0)
         stats = {
             "perray_overflow": perray_overflow,
             "sig_overflow": sig_overflow,
-            "n_sigma": slot_valid.sum(),
+            "n_sigma": slot_validT.sum(),
             "n_rgb": alpha_live.sum(),
         }
         return rgb_map, stats
+
+    def _occupied_world_pts(self, masks3d, batch):
+        """The reference's dense occupied-voxel walk (demo_render.py:166-175):
+        every voxel of the sum-over-levels occupancy field above threshold,
+        mapped to world space (coord * 2.0 level-0 units). Returns
+        (pts_w (N,3), row_ok (N,), min_xyz (3,), max_xyz (3,))."""
+        D1, H1, W1 = masks3d.shape
+        vs = jnp.asarray(self.voxel_size, jnp.float32)
+        R = batch["Rh"]
+        Th = batch["Th"].reshape(1, 3)
+        occ = (masks3d > self.occupancy_threshold).reshape(-1)
+        vd = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 0)
+        vh = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 1)
+        vw = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 2)
+        vox_xyz = jnp.stack([vw, vh, vd], axis=-1).reshape(-1, 3)
+        can_pts = vox_xyz.astype(jnp.float32) * 2.0 * vs + batch["bounds"][0]
+        pts_w = can_pts @ R.T + Th
+        row_ok = occ
+        big = jnp.float32(1e9)
+        okc = row_ok[:, None]
+        min_xyz = jnp.where(okc, pts_w, big).min(axis=0)
+        max_xyz = jnp.where(okc, pts_w, -big).max(axis=0)
+        return pts_w, row_ok, min_xyz, max_xyz
 
     def _frame_stage(self, variables, batch, featmaps, stop_stage=None):
         """Per-frame stages (1)-(4): volume, occupancy, packed gather
@@ -303,6 +407,12 @@ class Renderer(BaseRenderer):
             return {
                 "dbg": sum(g.nbr.sum() for g in grids) + pre["smpl_feat"].sum()
             }
+
+        if stop_stage == "codes":
+            fused = apply(
+                lambda m, s: m.sigmahead.fuse_codes(s), pre["smpl_feat"]
+            )
+            return {"dbg": fused.sum().astype(jnp.float32)}
 
         # (2) volume + occupancy (demo_render.py:154-165)
         level_feats = apply(
@@ -329,25 +439,43 @@ class Renderer(BaseRenderer):
             build_octet_table_3d,
             build_quad_table_2d,
             quantize_volume_u8,
+            resample_volume_to,
         )
         from gpnerf_tpu.ops.sparse_conv import scatter_dense
 
+        if self.merge_coarse_octet:
+            # two tables: level-1 + combined [l2|l3|l4] resampled onto the
+            # level-2 grid (dense separable matmuls) — 2 per-point gathers
+            # instead of 4 in the multi-scale query
+            l2 = scatter_dense(level_feats[1], grids[2]).astype(jnp.float32)
+            l3 = scatter_dense(level_feats[2], grids[3])
+            l4 = scatter_dense(level_feats[3], grids[4])
+            sh2 = l2.shape[:3]
+            combined = jnp.concatenate(
+                [
+                    l2,
+                    resample_volume_to(l3, sh2, out_sh // 4, out_sh // 8),
+                    resample_volume_to(l4, sh2, out_sh // 4, out_sh // 16),
+                ],
+                axis=-1,
+            )
+            dense_list = [
+                scatter_dense(level_feats[0], grids[1]),
+                combined,
+            ]
+        else:
+            dense_list = [
+                scatter_dense(level_feats[i], grids[i + 1]) for i in range(4)
+            ]
         octet_scales = None
         if self.quantize_volume:
             octet_vols, octet_scales = [], []
-            for i in range(4):
-                q, sc = quantize_volume_u8(
-                    scatter_dense(level_feats[i], grids[i + 1])
-                )
+            for vol in dense_list:
+                q, sc = quantize_volume_u8(vol)
                 octet_vols.append(build_octet_table_3d(q))
                 octet_scales.append(sc)
         else:
-            octet_vols = [
-                build_octet_table_3d(
-                    scatter_dense(level_feats[i], grids[i + 1])
-                )
-                for i in range(4)
-            ]
+            octet_vols = [build_octet_table_3d(v) for v in dense_list]
         # packed bilinear tables for the projection gathers (one row-gather
         # per point/view/map instead of four)
         src_quad = build_quad_table_2d(src_unnorm)
@@ -385,25 +513,23 @@ class Renderer(BaseRenderer):
             min_xyz = jnp.where(okc, pts_w, big).min(axis=0)
             max_xyz = jnp.where(okc, pts_w, -big).max(axis=0)
         else:
-            D1, H1, W1 = masks3d.shape
-            occ = (masks3d > self.occupancy_threshold).reshape(-1)
-            vd = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 0)
-            vh = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 1)
-            vw = jax.lax.broadcasted_iota(jnp.int32, (D1, H1, W1), 2)
-            vox_xyz = jnp.stack([vw, vh, vd], axis=-1).reshape(-1, 3)
-            can_pts = vox_xyz.astype(jnp.float32) * 2.0 * vs + batch["bounds"][0]
-            pts_w = can_pts @ R.T + Th
-            row_ok = occ
-            big = jnp.float32(1e9)
-            okc = row_ok[:, None]
-            min_xyz = jnp.where(okc, pts_w, big).min(axis=0)
-            max_xyz = jnp.where(okc, pts_w, -big).max(axis=0)
+            pts_w, row_ok, min_xyz, max_xyz = self._occupied_world_pts(
+                masks3d, batch
+            )
         min_xyz = min_xyz - jnp.asarray([0.0, 0.0, 0.05])
         max_xyz = max_xyz + jnp.asarray([0.0, 0.0, 0.05])
         can_bounds = jnp.stack([min_xyz, max_xyz])  # (demo :168-175)
 
         # (3) splat occupied voxels into the target view (:179-199)
-        pixmask = self._splat_pixels(pts_w, row_ok, batch, Himg, Wimg)
+        pixmask, zmin_flat = self._splat_pixels(pts_w, row_ok, batch, Himg, Wimg)
+        # front-depth image: 4-neighborhood min fills dilation-only pixels
+        # and guards against splat-granularity overshoot (windowed tap)
+        zm = zmin_flat.reshape(Himg, Wimg)
+        zm = jnp.minimum(
+            jnp.minimum(zm, jnp.minimum(jnp.roll(zm, 1, 0), jnp.roll(zm, -1, 0))),
+            jnp.minimum(jnp.roll(zm, 1, 1), jnp.roll(zm, -1, 1)),
+        )
+        zmin_flat = zm.reshape(-1)
         if self.tight_cull:
             # level-1 voxel spacing (~1 cm) can project to >2 px at close
             # range; one 4-neighborhood pixel dilation closes the gaps the
@@ -456,6 +582,7 @@ class Renderer(BaseRenderer):
             "rays_d": rays_d,
             "near": near,
             "far": far,
+            "zmin": zmin_flat[jnp.minimum(pix_idx, oob - 1)],
             "ray_ok": ray_ok,
             "pix_idx": pix_idx,
             "ray_overflow": ray_overflow,
@@ -476,7 +603,7 @@ class Renderer(BaseRenderer):
         rgb_map, stats = self._ray_pipeline(
             variables["head"], batch, pre, tables,
             rd["rays_o"], rd["rays_d"], rd["near"], rd["far"], ray_ok,
-            stop_stage=stop_stage,
+            zmin=rd["zmin"], stop_stage=stop_stage,
         )
         if stats is None:
             return rgb_map  # the pipeline returned a stage checksum dict
@@ -590,6 +717,122 @@ class Renderer(BaseRenderer):
         return {"etime": etime, "rtime": totals[None], "time_slots": time_slots}
 
 
+    # ------------------------------------------------------------------
+    def _mesh_fns_demo(self):
+        if getattr(self, "_mesh_demo_jits", None) is None:
+
+            @jax.jit
+            def vol_fn(variables, batch):
+                from gpnerf_tpu.render.base import src_norm
+
+                featmaps = self.encoder.apply(
+                    variables["encoder"], src_norm(batch["src_imgs"])
+                )
+                pre = self.prepare_frame(
+                    batch, featmaps, neg_ray=self.neg_ray_val
+                )
+                level_feats = self.nerfhead.apply(
+                    variables["head"], pre["smpl_feat"], pre["vertex_rows"],
+                    pre["grids"], train=False,
+                    method=lambda m, *a, **kw: m.volume(*a, **kw),
+                )
+                masks3d = occupancy_volume(level_feats, pre["grids"])
+                _, _, min_xyz, max_xyz = self._occupied_world_pts(
+                    masks3d, batch
+                )
+                can_bounds = jnp.stack(
+                    [
+                        min_xyz - jnp.asarray([0.0, 0.0, 0.05]),
+                        max_xyz + jnp.asarray([0.0, 0.0, 0.05]),
+                    ]
+                )
+                dense_vols = self.materialize_dense(level_feats, pre["grids"])
+                return (featmaps, pre["KE"], dense_vols, pre["out_sh"],
+                        masks3d, can_bounds)
+
+            @jax.jit
+            def chunk_fn(variables, featmaps, KE, dense_vols, out_sh,
+                         masks3d, batch, pts):
+                from gpnerf_tpu.ops.grid_sample import trilinear_dense_gather
+                from gpnerf_tpu.ops.projection import project_and_gather
+                from gpnerf_tpu.render.base import src_norm
+
+                dhw = self.points_to_dhw_vox(pts, batch)
+                size1 = out_sh // 2
+                pos1 = dhw / out_sh.astype(jnp.float32) * (
+                    size1 - 1
+                ).astype(jnp.float32)
+                occ = trilinear_dense_gather(masks3d, pos1, dyn_size=size1)
+                sigma_feat = self.nerfhead.apply(
+                    variables["head"], dense_vols, dhw, out_sh,
+                    method=lambda m, *a: m.sigmahead.query_sigma_feat_dense(*a),
+                )
+                H, W = batch["src_imgs"].shape[1:3]
+                rgb_feat, vm = project_and_gather(
+                    pts, KE, src_norm(batch["src_imgs"]) * 0.5 + 0.5,
+                    featmaps, H, W, neg_ray=self.neg_ray_val,
+                )
+                mean, var = fused_mean_variance(rgb_feat)
+                nvo = vm.sum(axis=-1, keepdims=True)
+                sigma = self.nerfhead.apply(
+                    variables["head"], sigma_feat, mean[:, 0], var[:, 0], nvo,
+                    method=lambda m, *a: m.rgbhead.density(*a),
+                )[:, 0]
+                # the reference culls to sp_feats > 0 survivors
+                # (demo_render.py:253-259); culled grid points keep alpha 0
+                return jnp.where(occ > 0, sigma, 0.0)
+
+            self._mesh_demo_jits = (vol_fn, chunk_fn)
+        return self._mesh_demo_jits
+
+    def render_mesh(self, variables, batch_np, chunk=65536):
+        """Occupancy-driven mesh branch (demo_render.py:249-268,366-376):
+        the mesh grid comes from the occupancy field's world AABB alone — no
+        dataset-supplied `pts`/`inside` visual hull (which
+        BaseRender.render_mesh requires): dense grid over can_bounds at
+        voxel_size, occupancy cull (trilinear masks3d > 0), density-MLP
+        sigma, alpha cube padded 10, marching cubes at mesh_th."""
+        import numpy as np
+
+        from gpnerf_tpu.ops.marching_cubes import marching_cubes
+        from gpnerf_tpu.utils.mesh_io import Trimesh
+
+        vol_fn, chunk_fn = self._mesh_fns_demo()
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in batch_np.items()
+            if k not in ("pts", "inside")
+        }
+        featmaps, KE, dense_vols, out_sh, masks3d, can_bounds = vol_fn(
+            variables, batch
+        )
+        cb = np.asarray(can_bounds)
+        vs = np.asarray(self.voxel_size, np.float64)
+        axes = [
+            np.arange(cb[0, i], cb[1, i] + vs[i], vs[i]) for i in range(3)
+        ]
+        pts = np.stack(
+            np.meshgrid(*axes, indexing="ij"), axis=-1
+        ).astype(np.float32)
+        sh = pts.shape[:3]
+        flat = pts.reshape(-1, 3)
+        n = len(flat)
+        n_pad = (-n) % chunk
+        flat = np.concatenate([flat, np.zeros((n_pad, 3), np.float32)])
+        sigmas = []
+        for i in range(0, len(flat), chunk):
+            s = chunk_fn(
+                variables, featmaps, KE, dense_vols, out_sh, masks3d, batch,
+                jnp.asarray(flat[i : i + chunk]),
+            )
+            sigmas.append(np.asarray(s))
+        sigma = np.concatenate(sigmas)[:n]
+        alpha = 1.0 - np.exp(-sigma)
+        cube = np.pad(alpha.reshape(sh), 10, mode="constant")
+        vertices, triangles = marching_cubes(cube, self.mesh_th)
+        return {"cube": cube, "mesh": Trimesh(vertices, triangles)}
+
+
 def build_render(cfg):
     """Factory mirroring demo_render.build_render (demo_render.py:635-671)."""
     from gpnerf_tpu.registry import get
@@ -625,6 +868,8 @@ def build_render(cfg):
         tight_cull=cfg.tpu.tight_cull,
         samples_per_ray=cfg.tpu.samples_per_ray,
         quantize_volume=cfg.tpu.quantize_volume,
+        tap_window=cfg.tpu.tap_window,
+        merge_coarse_octet=cfg.tpu.merge_coarse_octet,
     )
 
 

@@ -20,3 +20,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compilation cache: the suite is compile-bound (the trainer
+# fwd+bwd and renderer programs cost minutes of XLA CPU compile on one
+# core); with the cache warm a full-suite run drops several-fold. The dir
+# is gitignored — the first run on a fresh checkout populates it.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -117,6 +117,7 @@ def test_zjumocap_getitem_end_to_end(zju_root):
     cfg = _cfg.clone()
     cfg.defrost()
     cfg.merge_from_file("configs/trainzju_valzju.yaml")
+    cfg.encoder.name = "tiny"  # dataset contract is the subject: cut compile
     cfg.dataset.train.data_root = zju_root
     cfg.dataset.test.data_root = zju_root
     cfg.dataset.train.seq_list = ["CoreView_387"]

@@ -18,6 +18,7 @@ def small_cfg():
     cfg = _cfg.clone()
     cfg.defrost()
     cfg.merge_from_file("configs/synthetic.yaml")
+    cfg.encoder.name = "tiny"  # orchestration tests: cut compile time
     cfg.dataset.H = 128
     cfg.dataset.W = 128
     cfg.head.sigma.code_dim = 16
@@ -144,6 +145,7 @@ def test_dp_demo_overflow_aggregation():
                 "rays_d": jnp.zeros((cap, 3)),
                 "near": jnp.arange(cap, dtype=jnp.float32),
                 "far": jnp.zeros((cap,)),
+                "zmin": jnp.zeros((cap,)),
                 "ray_ok": jnp.ones((cap,), bool),
                 "pix_idx": jnp.arange(cap, dtype=jnp.int32),
                 "ray_overflow": jnp.int32(3),  # replicated frame stage
@@ -151,7 +153,7 @@ def test_dp_demo_overflow_aggregation():
             return None, None, rd
 
         def _ray_pipeline(self, head_vars, batch, pre, tables, rays_o,
-                          rays_d, near, far, ray_ok):
+                          rays_d, near, far, ray_ok, zmin=None):
             # shard-dependent counters: shard i sees near = [4i .. 4i+3]
             stats = {
                 "perray_overflow": near.sum().astype(jnp.int32),
@@ -186,6 +188,7 @@ def test_dp_demo_render_matches_single_chip():
     cfg = _cfg.clone()
     cfg.defrost()
     cfg.merge_from_file("configs/synthetic.yaml")
+    cfg.encoder.name = "tiny"  # sharding test: cut compile time
     cfg.dataset.H = 128
     cfg.dataset.W = 128
     cfg.head.sigma.code_dim = 16

@@ -72,8 +72,9 @@ def main():
     featdev = [enc(variables, b["src_imgs"]) for b in dev]
     jax.block_until_ready(featdev[-1])
     prev = 0.0
-    for stage in ("pre", "fuse", "occv", "volume", "rays", "cull_occ",
-                  "cull_compact", "cull", "sigma_q", "sigma", "rgb", None):
+    for stage in ("pre", "codes", "fuse", "occv", "volume", "rays",
+                  "cull_occ", "cull_slots", "cull_compact", "cull", "sigma_q",
+                  "meanvar", "sigma", "rgb", None):
         fn = jax.jit(partial(render._demo_impl, stop_stage=stage))
         jax.block_until_ready(fn(variables, dev[0], featdev[0]))
         ts = []
