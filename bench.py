@@ -87,6 +87,8 @@ def main():
     cfg.head.sigma.code_dim = 32
     cfg.render.file = "demo_render"
     cfg.device = "tpu"
+    if len(sys.argv) > 1:  # ad-hoc overrides: `bench.py tpu.frame_mode True`
+        cfg.merge_from_list(sys.argv[1:])
     cfg.freeze()
 
     np.random.seed(0)
@@ -99,7 +101,18 @@ def main():
     # whose ray/point demand is ~3x higher)
     n_frames = 10
     stride = max(1, len(ds) // n_frames)
-    host_batches = [ds[i * stride] for i in range(n_frames)]
+    # Per-item seeding of BOTH RNGs (same protocol as tools/quality_sweep):
+    # eval view selection draws from stdlib `random`
+    # (data/base.py select_views, mirroring ZjumocapDataset.py:310-353), so
+    # an unseeded bench renders a different target view per run — PSNR and
+    # cull counts would not be comparable across runs.
+    import random as _random
+
+    host_batches = []
+    for i in range(n_frames):
+        _random.seed(i)
+        np.random.seed(i)
+        host_batches.append(ds[i * stride])
 
     variables = render.init_variables(jax.random.PRNGKey(0), host_batches[0])
 
@@ -207,8 +220,10 @@ def main():
         cfg_ref.tpu.tight_cull = False
         cfg_ref.tpu.samples_per_ray = 64
         cfg_ref.tpu.tap_window = 0
-        cfg_ref.tpu.ray_cap = 49152
-        cfg_ref.tpu.sigma_cap = 1048576
+        # loose-cull demand measured on the bench frames: 2.52M sigma
+        # points / up to 52k rays — caps sized to run drop-free
+        cfg_ref.tpu.ray_cap = 65536
+        cfg_ref.tpu.sigma_cap = 2621440
         cfg_ref.tpu.rgb_cap = 1048576
         cfg_ref.freeze()
         render_ref = get("render", cfg_ref.render.file)(cfg_ref)

@@ -205,6 +205,27 @@ cfg.tpu.eval_chunk = 8192
 # uint8-quantize the demo renderer's octet feature tables (per-channel
 # scales; post-ReLU activations): halves the dominant random-gather bytes
 cfg.tpu.quantize_volume = True
+# eval-only dense-convolution form of the sparse conv stack (demo
+# renderer): SubM/stride convs run as masked dense XLA conv3d over the
+# level volumes from level 1 down — parity-tested against the rows path
+# (3e-7 end-to-end). MEASURED SLOWER on v5e (12.12 vs 12.58 fps bench):
+# XLA's small-channel conv3d does not beat the table gathers there; kept
+# as an option for hardware where regular conv wins.
+cfg.tpu.dense_conv = False
+# frame mode: evaluate the K consecutive front-anchored 64-grid samples of
+# every ray as the (K, R) frame directly — no occupancy tap, no rank or
+# global compaction, no composite scatters; the tight occupancy cull
+# becomes a zero-density mask read off the multi-scale query (trilinear
+# level-1 channel sum > 0 — the reference's sp_feats > 0 cull restricted
+# to level 1). Requires tap_window > 0; non-neg_ray datasets only.
+cfg.tpu.frame_mode = False
+# zmin-window front margin in level-0 voxels (6 = 3 level-1 voxels)
+cfg.tpu.window_margin_voxels = 6.0
+# upsample encoder features to source resolution (align-corners separable
+# matmuls, once per frame) and pack them WITH the source rgb into one
+# [rgb|feat] quad table: ONE projection gather per (point, view) instead
+# of two
+cfg.tpu.merge_src_feat = False
 # merge levels 2-4 into ONE combined octet table at level-2 resolution
 # (coarse fields resampled by dense separable matmuls once per frame):
 # the multi-scale point query drops from 4 random gathers to 2. Full-set

@@ -102,10 +102,15 @@ class NeRFSigmaHead(nn.Module):
         return self.out_geometry_fc(feats)
 
     def query_sigma_feat_octet(self, octet_vols, dhw_vox, out_sh_dyn,
-                               scales=None):
+                               scales=None, with_l1_occ=False):
         """Octet-table variant (demo hot path); optional uint8 tables with
         per-level dequantization scales. Two tables = the merged-coarse
-        layout (query_octet2), four = one per level."""
+        layout (query_octet2), four = one per level. with_l1_occ also
+        returns the level-1 channel-sum of the queried features — the EXACT
+        trilinear tight-cull occupancy (`sp_feats` of demo_render.py:274-283
+        restricted to level 1): trilinear interpolation is linear, so
+        channel-summing the queried features equals querying the
+        channel-sum volume."""
         if len(octet_vols) == 2:
             feats = self.xyzc_net.query_octet2(
                 octet_vols[0], octet_vols[1], dhw_vox, out_sh_dyn,
@@ -115,7 +120,11 @@ class NeRFSigmaHead(nn.Module):
             feats = self.xyzc_net.query_octet(
                 octet_vols, dhw_vox, out_sh_dyn, scales=scales
             )
-        return self.out_geometry_fc(feats)
+        sigma_feat = self.out_geometry_fc(feats)
+        if with_l1_occ:
+            nch = self.spconv_out_dim[0]
+            return sigma_feat, feats[..., :nch].sum(axis=-1)
+        return sigma_feat
 
     def __call__(self, smpl_feat, vertex_rows, levels, dhw_vox, out_sh_dyn,
                  *, train: bool):

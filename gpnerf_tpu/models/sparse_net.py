@@ -210,6 +210,124 @@ class SparseConvNet(nn.Module):
 
 
 
+def _bn_affine(x, p, s, eps=1e-3):
+    """Eval-mode BatchNorm1d: pure affine on running statistics
+    (MaskedBatchNorm use_running_average branch)."""
+    inv = 1.0 / jnp.sqrt(s["var"] + eps)
+    return (
+        (x.astype(jnp.float32) - s["mean"]) * inv * p["scale"] + p["bias"]
+    ).astype(x.dtype)
+
+
+def _conv3d(vol, w27, stride, compute_dtype=None):
+    """Dense 3D conv with the sparse tap layout: w27 (27, Cin, Cout), tap
+    k = ((kd*3)+kh)*3+kw at offset (kd-1, kh-1, kw-1) == correlation kernel
+    (3,3,3,Cin,Cout) with SAME-style padding 1 (ops/sparse_conv.py:29-32)."""
+    import jax
+
+    k = w27.reshape(3, 3, 3, w27.shape[-2], w27.shape[-1])
+    if compute_dtype is not None:
+        vol = vol.astype(compute_dtype)
+        k = k.astype(compute_dtype)
+    # output stays float32 (preferred_element_type): the rows path rounds
+    # only each conv's INPUT to the compute dtype (subm_conv_tbl) and keeps
+    # activations/BN in f32 — chaining bf16 activations instead measured
+    # -0.17 dB on the full set
+    return jax.lax.conv_general_dilated(
+        vol[None], k, window_strides=(stride,) * 3,
+        padding=((1, 1),) * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )[0]
+
+
+def _dense_mask(grid):
+    """(D, H, W, 1) float mask of a level's active sites."""
+    safe = jnp.where(
+        grid.valid[:, None], grid.coords, jnp.asarray(grid.shape, jnp.int32)
+    )
+    m = jnp.zeros(grid.shape, jnp.float32)
+    m = m.at[safe[:, 0], safe[:, 1], safe[:, 2]].set(1.0, mode="drop")
+    return m[..., None]
+
+
+def sparse_net_dense_eval(params, stats, code, levels, *, n_layers=4,
+                          compute_dtype=None):
+    """EVAL-ONLY dense-convolution form of SparseConvNet.features.
+
+    Identical math to the rows path (parity-tested): a submanifold conv is
+    a dense conv over the zero-filled level volume with its output re-masked
+    to the active set (inactive inputs contribute 0 either way,
+    spconv.SubMConv3d semantics); the strided conv is a dense stride-2 conv
+    masked to the strided active set; eval BatchNorm is the running-stats
+    affine. On TPU this replaces ~2.4M random neighbor-row gathers per
+    frame with a handful of MXU convolutions over the (small) level volumes
+    — regular compute beats irregular gather. subm0 + the first strided
+    conv stay in rows form (the level-0 dense volume would be ~0.5-1 GB;
+    its table gathers are cheap).
+
+    Args:
+      params / stats: the `sigmahead/xyzc_net` param and batch_stats
+        subtrees (torch-interop key layout preserved: subm{i}/w{j},
+        subm{i}/bn{j}, down{i}/w, down{i}/bn).
+      code: (CAP0, C) fused vertex codes scattered to level-0 rows.
+      levels: SparseLevel pyramid (host tables).
+
+    Returns [V1..V4] dense per-level volumes (D_i, H_i, W_i, 32), zero at
+    inactive sites — the direct input for occupancy/octet table builds.
+    """
+    from gpnerf_tpu.ops.sparse_conv import (
+        scatter_dense,
+        stride_conv_tbl,
+        subm_conv_tbl,
+    )
+
+    x = code
+    for j in (0, 1):
+        x = subm_conv_tbl(
+            x, levels[0], params["subm0"][f"w{j}"], compute_dtype=compute_dtype
+        )
+        x = nn.relu(_bn_affine(x, params["subm0"][f"bn{j}"], stats["subm0"][f"bn{j}"]))
+    x = stride_conv_tbl(
+        x, levels[1], params["down0"]["w"], compute_dtype=compute_dtype
+    )
+    x = nn.relu(_bn_affine(x, params["down0"]["bn"], stats["down0"]["bn"]))
+
+    V = scatter_dense(x, levels[1])
+    vols = []
+    for i in range(n_layers):
+        lv = levels[i + 1]
+        mask = _dense_mask(lv).astype(V.dtype)
+        if i > 0:
+            V = _conv3d(V, params[f"down{i}"]["w"], 2, compute_dtype)
+            V = nn.relu(
+                _bn_affine(V, params[f"down{i}"]["bn"], stats[f"down{i}"]["bn"])
+            ) * mask
+        for j in (0, 1):
+            V = _conv3d(V, params[f"subm{i + 1}"][f"w{j}"], 1, compute_dtype)
+            V = nn.relu(
+                _bn_affine(
+                    V, params[f"subm{i + 1}"][f"bn{j}"],
+                    stats[f"subm{i + 1}"][f"bn{j}"],
+                )
+            ) * mask
+        vols.append(V)
+    return vols
+
+
+def occupancy_volume_dense(vols, *, levels=None):
+    """`occupancy_volume` from dense (masked) level volumes: per-level
+    channel sums, nearest-upsampled to level-1 resolution and summed."""
+    total = jnp.zeros(vols[0].shape[:3], jnp.float32)
+    use = range(len(vols)) if levels is None else levels
+    for i in use:
+        v = vols[i].sum(axis=-1).astype(jnp.float32)
+        for _ in range(i):
+            v = v.repeat(2, axis=0).repeat(2, axis=1).repeat(2, axis=2)
+        total = total + v
+    return total
+
+
 def occupancy_volume(level_feats, grids: List[SparseGrid], *, levels=None):
     """The demo renderer's `masks3d` (SparseConvNet.encode,
     SparseConvNet.py:126-143): per-level channel-sums, nearest-upsampled to

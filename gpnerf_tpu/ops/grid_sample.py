@@ -269,6 +269,22 @@ def resample_volume_to(vol, out_shape_max, size_out_dyn, size_in_dyn):
     return v
 
 
+def upsample_image_align_corners(img, Ho, Wo):
+    """Bilinear align-corners resample of (V, Hi, Wi, C) images to
+    (V, Ho, Wo, C) via two separable interpolation matmuls (MXU work, no
+    gathers). Used to bring encoder feature maps to source-image resolution
+    so the per-point projection gather fetches [rgb|features] as ONE row."""
+    V, Hi, Wi, C = img.shape
+    mh = _axis_resample_matrix(
+        Ho, Hi, jnp.asarray(Ho, jnp.int32), jnp.asarray(Hi, jnp.int32)
+    )
+    mw = _axis_resample_matrix(
+        Wo, Wi, jnp.asarray(Wo, jnp.int32), jnp.asarray(Wi, jnp.int32)
+    )
+    out = jnp.einsum("oh,vhwc->vowc", mh, img.astype(jnp.float32))
+    return jnp.einsum("pw,vowc->vopc", mw, out)
+
+
 def quantize_volume_u8(vol, eps=1e-8):
     """Per-channel symmetric uint8 quantization of a non-negative feature
     volume (the sparse conv levels are post-ReLU). Returns (q (..., C) uint8,

@@ -100,6 +100,25 @@ def project_and_gather_quad(xyz, KE, src_quad, feat_quad, h, w, *, neg_ray=False
     return rgb_feat, mask.transpose(1, 0)
 
 
+def project_and_gather_quad_merged(xyz, KE, srcfeat_quad, h, w, *,
+                                   neg_ray=False):
+    """`project_and_gather_quad` through ONE combined [rgb|features] quad
+    table at source-image resolution (features upsampled once per frame by
+    ops.grid_sample.upsample_image_align_corners): a single row-gather per
+    (point, view) instead of two.
+
+    srcfeat_quad: (V, H+1, W+1, 4*(3+C)).
+    Returns rgb_feat (P, V, 3 + C), mask (P, V)."""
+    from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc
+
+    pixel, in_front = compute_projections(xyz, KE, neg_ray=neg_ray)
+    norm_pix = normalize_pixels(pixel, h, w)
+    rgb_feat = bilinear_quad_nhwc(srcfeat_quad, norm_pix, h, w)  # (V, P, 3+C)
+    rgb_feat = rgb_feat.transpose(1, 0, 2)
+    mask = (inbound_mask(pixel, h, w) & in_front).astype(rgb_feat.dtype)
+    return rgb_feat, mask.transpose(1, 0)
+
+
 def gather_smpl_features(smpl_xyz, KE, featmaps, h, w, *, neg_ray=False):
     """Per-SMPL-vertex multi-view feature gather
     (`Projector.compute` smpl branch, BaseRender.py:341-346 /

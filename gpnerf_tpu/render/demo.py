@@ -67,7 +67,9 @@ class Renderer(BaseRenderer):
     def __init__(self, *args, ray_cap=65536, sigma_cap=1048576, rgb_cap=262144,
                  occupancy_threshold=0.1, compute_dtype=None, tight_cull=False,
                  samples_per_ray=24, quantize_volume=False, tap_window=0,
-                 merge_coarse_octet=False, **kwargs):
+                 merge_coarse_octet=False, dense_conv=False,
+                 merge_src_feat=False, frame_mode=False,
+                 window_margin_voxels=6.0, **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
@@ -99,6 +101,19 @@ class Renderer(BaseRenderer):
         # the features are post-ReLU activations
         self.quantize_volume = bool(quantize_volume)
         self.merge_coarse_octet = bool(merge_coarse_octet)
+        self.dense_conv = bool(dense_conv)
+        self.merge_src_feat = bool(merge_src_feat)
+        # frame_mode: evaluate the K consecutive front-anchored samples of
+        # EVERY ray directly as the (K, R) frame — no occupancy tap, no
+        # rank/global compaction, no composite scatters; the reference's
+        # tight occupancy cull is applied as a zero-density mask read off
+        # the multi-scale query itself. Requires the zmin window
+        # (tap_window > 0) and a non-neg_ray dataset; falls back to the
+        # compacted pipeline otherwise.
+        self.frame_mode = bool(frame_mode)
+        # front-margin of the zmin window, in level-0 voxels (6 = 3 level-1
+        # voxels): guards splat-granularity overshoot of the front depth
+        self.window_margin_voxels = float(window_margin_voxels)
         self._demo_jit = None
         self._encoder_jit = None
         self._last_etime = 0.0
@@ -182,12 +197,46 @@ class Renderer(BaseRenderer):
         W = max(self.tap_window, K) if use_window else S
         if use_window:
             dz = jnp.maximum((far - near) / (S - 1), 1e-9)
-            margin = 6.0 * jnp.float32(self.voxel_size[0])  # 3 lvl-1 voxels
+            margin = self.window_margin_voxels * jnp.float32(
+                self.voxel_size[0]
+            )
             s_lo = jnp.floor((zmin - margin - near) / dz).astype(jnp.int32)
             s_lo = jnp.where(zmin > 1e8, 0, jnp.clip(s_lo, 0, S - W))
         else:
             s_lo = jnp.zeros((nr,), jnp.int32)
         s_lo_f = s_lo.astype(jnp.float32)
+
+        frame_mode = self.frame_mode and use_window
+        if frame_mode:
+            # FRAME MODE: no occupancy tap, no rank compaction, no global
+            # compaction. The per-point frame is the K consecutive 64-grid
+            # samples from each ray's splat front depth, laid out slot-major
+            # (K, R); the reference's occupancy cull (`sp_feats > 0`,
+            # demo_render.py:274-283, tight level-1 field) is applied as a
+            # zero-density mask computed FOR FREE from the multi-scale
+            # octet query (trilinear is linear, so the level-1 channel sum
+            # of the queried features IS the trilinear occupancy), and the
+            # composite reads the (K, R) frame directly with no scatters.
+            P = nr * K
+            kT = jnp.arange(K, dtype=jnp.float32)[:, None]  # (K, 1)
+            tT = (s_lo_f[None, :] + kT) / jnp.float32(S - 1)  # (K, R)
+            zT = near[None, :] * (1.0 - tT) + far[None, :] * tT
+            comps = [
+                rays_o[None, :, i] + rays_d[None, :, i] * zT for i in range(3)
+            ]
+            pts_c = jnp.stack(comps, axis=-1).reshape(P, 3)
+            dhw_c = self.points_to_dhw_vox(pts_c, batch)
+            sig_ok = jnp.broadcast_to(ray_ok[None, :], (K, nr)).reshape(P)
+            perray_overflow = jnp.int32(0)  # nothing measured is dropped
+            sig_overflow = jnp.int32(0)
+            sig_idx_t = None
+            if stop_stage in ("cull_occ", "cull_slots", "cull_compact"):
+                return ({"dbg": pts_c.sum() + dhw_c.sum()}, None)
+            return self._point_stages(
+                apply, batch, pre, tables, pts_c, dhw_c, sig_ok, sig_idx_t,
+                perray_overflow, sig_overflow, K, nr, ray_ok, neg_ray,
+                frame_mode=True, stop_stage=stop_stage,
+            )
 
         # (5) occupancy cull (:270-283). The reference keeps points whose
         # trilinear occupancy sample is > 0, i.e. any corner of the point's
@@ -274,26 +323,63 @@ class Renderer(BaseRenderer):
         dhw_c = self.points_to_dhw_vox(pts_c, batch)
         if stop_stage == "cull_compact":
             return ({"dbg": pts_c.sum() + dhw_c.sum()}, None)
+        return self._point_stages(
+            apply, batch, pre, tables, pts_c, dhw_c, sig_ok, sig_idx_t,
+            perray_overflow, sig_overflow, K, nr, ray_ok, neg_ray,
+            frame_mode=False, n_sigma=slot_validT.sum(),
+            stop_stage=stop_stage,
+        )
+
+    def _point_stages(self, apply, batch, pre, tables, pts_c, dhw_c, sig_ok,
+                      sig_idx_t, perray_overflow, sig_overflow, K, nr,
+                      ray_ok, neg_ray, *, frame_mode, n_sigma=None,
+                      stop_stage=None):
+        """Stages (6)-(8): projection gather, density, color, composite —
+        over either the compacted point list (sig_idx_t slot-major indices)
+        or the full (K, R) frame (frame_mode: identity layout, no
+        scatters)."""
+        octet_vols = tables["octet_vols"]
+        octet_scales = tables["octet_scales"]
+        src_quad = tables["src_quad"]
+        feat_quad = tables["feat_quad"]
+        out_sh = pre["out_sh"]
+        P = nr * K
 
         # project + gather only for survivors (demo projector.compute :284)
         Hsrc, Wsrc = batch["src_imgs"].shape[1:3]
-        rgb_feat, view_mask = project_and_gather_quad(
-            pts_c, pre["KE"], src_quad, feat_quad, Hsrc, Wsrc, neg_ray=neg_ray
-        )  # (sigma_cap, V, C+3), (sigma_cap, V)
+        if feat_quad is None:
+            from gpnerf_tpu.ops.projection import project_and_gather_quad_merged
+
+            rgb_feat, view_mask = project_and_gather_quad_merged(
+                pts_c, pre["KE"], src_quad, Hsrc, Wsrc, neg_ray=neg_ray
+            )
+        else:
+            rgb_feat, view_mask = project_and_gather_quad(
+                pts_c, pre["KE"], src_quad, feat_quad, Hsrc, Wsrc,
+                neg_ray=neg_ray,
+            )  # (P, V, C+3), (P, V)
         if stop_stage == "cull":
             return ({"dbg": rgb_feat.sum().astype(jnp.float32) + view_mask.sum()}, None)
 
-        # (6) density (:294-314)
-        sigma_feat = apply(
-            lambda m, *a, **kw: m.sigmahead.query_sigma_feat_octet(*a, **kw),
-            octet_vols, dhw_c, out_sh,
-        ) if octet_scales is None else self.nerfhead.apply(
-            head_vars, octet_vols, dhw_c, out_sh, scales=octet_scales,
-            method=lambda m, *a, **kw: m.sigmahead.query_sigma_feat_octet(*a, **kw),
-        )  # (sigma_cap, 64)
+        # (6) density (:294-314). frame_mode also reads the level-1
+        # trilinear occupancy off the same query (the reference tight cull)
+        kw = {} if octet_scales is None else {"scales": octet_scales}
+        if frame_mode:
+            sigma_feat, occ_l1 = apply(
+                lambda m, *a, **k: m.sigmahead.query_sigma_feat_octet(
+                    *a, **k, with_l1_occ=True
+                ),
+                octet_vols, dhw_c, out_sh, **kw,
+            )
+            sig_ok = sig_ok & (occ_l1.astype(jnp.float32) > 0)
+        else:
+            sigma_feat = apply(
+                lambda m, *a, **k: m.sigmahead.query_sigma_feat_octet(*a, **k),
+                octet_vols, dhw_c, out_sh, **kw,
+            )  # (P, 64)
         if stop_stage == "sigma_q":
             return ({"dbg": sigma_feat.sum().astype(jnp.float32)}, None)
-        mean, var = fused_mean_variance(rgb_feat)  # (sigma_cap, 1, C+3)
+        mean, var = fused_mean_variance(rgb_feat)  # (P, 1, C+3)
         num_valid_obs = view_mask.sum(axis=-1, keepdims=True)
         if stop_stage == "meanvar":
             return (
@@ -320,22 +406,38 @@ class Renderer(BaseRenderer):
             rgb_feat[:, None],
             mean[:, None],
             var[:, None],
-        )[:, 0].astype(jnp.float32)  # (sigma_cap, 3); composite in f32
+        )[:, 0].astype(jnp.float32)  # (P, 3); composite in f32
         alpha_live = (alpha > 1e-14) & sig_ok
-        rgb_overflow = jnp.int32(0)  # no rgb compaction under masking
         if stop_stage == "rgb":
             return ({"dbg": rgb.sum()}, None)
 
-        # (8) scatter into the SLOT-major (K, ray) frame + composite
-        # (:334-353). Slots are ordered by ascending sample index ==
-        # traversal order, so the shifted-cumprod transmittance
-        # (BaseRender.py:94-95 semantics) runs over the leading K axis with
-        # rays on the 128-lane axis; the compacted indices sig_idx_t are
-        # already slot-major, so the scatter needs no index remap.
-        tgt = jnp.where(sig_ok, sig_idx_t, P)
-        hold_alpha = jnp.zeros((P,)).at[tgt].set(alpha, mode="drop")
-        rgb_tgt = jnp.where(alpha_live, sig_idx_t, P)
-        alpha_kr = hold_alpha.reshape(K, nr)
+        # (8) composite over the SLOT-major (K, ray) frame (:334-353).
+        # Slots are ordered by ascending sample index == traversal order,
+        # so the shifted-cumprod transmittance (BaseRender.py:94-95) runs
+        # over the leading K axis with rays on the 128-lane axis. In
+        # frame_mode the points already ARE the frame (reshape, no
+        # scatter); compact mode scatters through sig_idx_t (slot-major, no
+        # index remap).
+        if frame_mode:
+            alpha_kr = alpha.reshape(K, nr)
+            rgb_chan = [
+                jnp.where(alpha_live, rgb[:, c], 0.0).reshape(K, nr)
+                for c in range(3)
+            ]
+        else:
+            tgt = jnp.where(sig_ok, sig_idx_t, P)
+            rgb_tgt = jnp.where(alpha_live, sig_idx_t, P)
+            alpha_kr = (
+                jnp.zeros((P,)).at[tgt].set(alpha, mode="drop").reshape(K, nr)
+            )
+            # per-channel (K, R) planes: a (K, R, 3) hold buffer puts 3 on
+            # the lane axis (43x pad) and its einsum relayout measured
+            # ~8 ms; three scalar scatters + plane multiplies are ~1 ms
+            rgb_chan = [
+                jnp.zeros((P,)).at[rgb_tgt].set(rgb[:, c], mode="drop")
+                .reshape(K, nr)
+                for c in range(3)
+            ]
         T = jnp.concatenate(
             [
                 jnp.ones((1, nr)),
@@ -344,19 +446,14 @@ class Renderer(BaseRenderer):
             axis=0,
         )
         weights = alpha_kr * T  # (K, nr)
-        # per-channel (K, R) planes: a (K, R, 3) hold buffer puts 3 on the
-        # lane axis (43x pad) and its einsum relayout measured ~8 ms; three
-        # scalar scatters + plane multiplies are ~1 ms
-        chans = []
-        for c in range(3):
-            hc = jnp.zeros((P,)).at[rgb_tgt].set(rgb[:, c], mode="drop")
-            chans.append((weights * hc.reshape(K, nr)).sum(axis=0))
-        rgb_map = jnp.stack(chans, axis=-1)
+        rgb_map = jnp.stack(
+            [(weights * hc).sum(axis=0) for hc in rgb_chan], axis=-1
+        )
         rgb_map = jnp.where(ray_ok[:, None], rgb_map, 0.0)
         stats = {
             "perray_overflow": perray_overflow,
             "sig_overflow": sig_overflow,
-            "n_sigma": slot_validT.sum(),
+            "n_sigma": sig_ok.sum() if n_sigma is None else n_sigma,
             "n_rgb": alpha_live.sum(),
         }
         return rgb_map, stats
@@ -414,59 +511,81 @@ class Renderer(BaseRenderer):
             )
             return {"dbg": fused.sum().astype(jnp.float32)}
 
-        # (2) volume + occupancy (demo_render.py:154-165)
-        level_feats = apply(
-            lambda m, *a: m.volume(*a, train=False),
-            pre["smpl_feat"], pre["vertex_rows"], grids,
+        # (2) volume + occupancy (demo_render.py:154-165). Both paths end
+        # in dense per-level volumes (zero at inactive sites) — the direct
+        # input for the occupancy field and the packed octet tables:
+        #   dense_conv: eval-only dense-convolution stack (MXU convs over
+        #     the level volumes instead of ~2.4M neighbor-row gathers);
+        #   rows: the table-driven sparse convs + per-level dense scatter.
+        from gpnerf_tpu.models.sparse_net import (
+            occupancy_volume_dense,
+            sparse_net_dense_eval,
         )
+        from gpnerf_tpu.ops.sparse_conv import scatter_dense
+
+        if self.dense_conv:
+            fused = apply(
+                lambda m, s: m.sigmahead.fuse_codes(s), pre["smpl_feat"]
+            )
+            vr = pre["vertex_rows"]
+            code = jnp.where(
+                (vr >= 0)[:, None], fused[jnp.maximum(vr, 0)], 0.0
+            )
+            vols = sparse_net_dense_eval(
+                head_vars["params"]["sigmahead"]["xyzc_net"],
+                head_vars["batch_stats"]["sigmahead"]["xyzc_net"],
+                code, grids, compute_dtype=self.compute_dtype,
+            )
+        else:
+            level_feats = apply(
+                lambda m, *a: m.volume(*a, train=False),
+                pre["smpl_feat"], pre["vertex_rows"], grids,
+            )
+            vols = [
+                scatter_dense(level_feats[i], grids[i + 1]) for i in range(4)
+            ]
         if stop_stage == "fuse":
-            return {"dbg": sum(f.sum() for f in level_feats)}
-        masks3d = occupancy_volume(level_feats, grids)  # static level-1 res
+            return {"dbg": sum(v.sum().astype(jnp.float32) for v in vols)}
+        # occupancy stays float32: masks3d feeds > occupancy_threshold
+        # comparisons (voxel election, zmin splat) where bf16 rounding can
+        # flip borderline voxels; vols are cast to compute_dtype only after
+        # the occupancy field is built
+        masks3d = occupancy_volume_dense(vols)  # static level-1 res
         if stop_stage == "occv":
             return {"dbg": masks3d.sum()}
         if self.compute_dtype is not None:
             # per-point stages run reduced precision: gather tables and the
             # gathered rows halve their HBM traffic
-            level_feats = [f.astype(self.compute_dtype) for f in level_feats]
             featmaps = featmaps.astype(self.compute_dtype)
             src_unnorm = src_unnorm.astype(self.compute_dtype)
-        # materialize dense per-level volumes once per frame and pack each
-        # trilinear footprint into one row (octet tables) — the TPU analog
-        # of the reference's `.dense()` cache (SparseConvNet.encode,
-        # SparseConvNet.py:126-143) laid out so every per-point multi-scale
-        # query is ONE row-gather per level instead of eight
+            vols = [v.astype(self.compute_dtype) for v in vols]
+        # pack each trilinear footprint into one row (octet tables) — the
+        # TPU analog of the reference's `.dense()` cache
+        # (SparseConvNet.encode, SparseConvNet.py:126-143) laid out so every
+        # per-point multi-scale query is ONE row-gather per level
         from gpnerf_tpu.ops.grid_sample import (
             build_octet_table_3d,
             build_quad_table_2d,
             quantize_volume_u8,
             resample_volume_to,
         )
-        from gpnerf_tpu.ops.sparse_conv import scatter_dense
 
         if self.merge_coarse_octet:
             # two tables: level-1 + combined [l2|l3|l4] resampled onto the
             # level-2 grid (dense separable matmuls) — 2 per-point gathers
             # instead of 4 in the multi-scale query
-            l2 = scatter_dense(level_feats[1], grids[2]).astype(jnp.float32)
-            l3 = scatter_dense(level_feats[2], grids[3])
-            l4 = scatter_dense(level_feats[3], grids[4])
-            sh2 = l2.shape[:3]
+            sh2 = vols[1].shape[:3]
             combined = jnp.concatenate(
                 [
-                    l2,
-                    resample_volume_to(l3, sh2, out_sh // 4, out_sh // 8),
-                    resample_volume_to(l4, sh2, out_sh // 4, out_sh // 16),
+                    vols[1].astype(jnp.float32),
+                    resample_volume_to(vols[2], sh2, out_sh // 4, out_sh // 8),
+                    resample_volume_to(vols[3], sh2, out_sh // 4, out_sh // 16),
                 ],
                 axis=-1,
             )
-            dense_list = [
-                scatter_dense(level_feats[0], grids[1]),
-                combined,
-            ]
+            dense_list = [vols[0], combined]
         else:
-            dense_list = [
-                scatter_dense(level_feats[i], grids[i + 1]) for i in range(4)
-            ]
+            dense_list = vols
         octet_scales = None
         if self.quantize_volume:
             octet_vols, octet_scales = [], []
@@ -477,9 +596,25 @@ class Renderer(BaseRenderer):
         else:
             octet_vols = [build_octet_table_3d(v) for v in dense_list]
         # packed bilinear tables for the projection gathers (one row-gather
-        # per point/view/map instead of four)
-        src_quad = build_quad_table_2d(src_unnorm)
-        feat_quad = build_quad_table_2d(featmaps)
+        # per point/view/map instead of four). With merge_src_feat the
+        # encoder features are upsampled to source resolution (exact-class
+        # align-corners reinterpolation, separable matmuls) and packed WITH
+        # the rgb into one [rgb|feat] table — one gather per (point, view).
+        if self.merge_src_feat:
+            from gpnerf_tpu.ops.grid_sample import upsample_image_align_corners
+
+            Hs, Ws = src_unnorm.shape[1:3]
+            feat_up = upsample_image_align_corners(featmaps, Hs, Ws)
+            comb = jnp.concatenate(
+                [src_unnorm.astype(jnp.float32), feat_up], axis=-1
+            )
+            if self.compute_dtype is not None:
+                comb = comb.astype(self.compute_dtype)
+            src_quad = build_quad_table_2d(comb)  # (V, H+1, W+1, 140)
+            feat_quad = None
+        else:
+            src_quad = build_quad_table_2d(src_unnorm)
+            feat_quad = build_quad_table_2d(featmaps)
         if stop_stage == "volume":
             return {
                 "dbg": sum(v.sum() for v in octet_vols)
@@ -563,7 +698,7 @@ class Renderer(BaseRenderer):
 
         # occupancy-cull byte volume (one-voxel dilated; see _ray_pipeline)
         if self.tight_cull:
-            cull_vol = occupancy_volume(level_feats, grids, levels=(0,))
+            cull_vol = occupancy_volume_dense(vols, levels=(0,))
         else:
             cull_vol = masks3d
         occb = cull_vol > 0
@@ -870,6 +1005,10 @@ def build_render(cfg):
         quantize_volume=cfg.tpu.quantize_volume,
         tap_window=cfg.tpu.tap_window,
         merge_coarse_octet=cfg.tpu.merge_coarse_octet,
+        dense_conv=cfg.tpu.dense_conv,
+        merge_src_feat=cfg.tpu.merge_src_feat,
+        frame_mode=cfg.tpu.frame_mode,
+        window_margin_voxels=cfg.tpu.window_margin_voxels,
     )
 
 

@@ -35,7 +35,17 @@ def _body(frame):
 
 @pytest.fixture(scope="module")
 def zju_root(tmp_path_factory):
-    root = tmp_path_factory.mktemp("zju")
+    return build_zju_tree(tmp_path_factory.mktemp("zju"))
+
+
+def build_zju_tree(root):
+    """Fabricate a tiny on-disk ZJU-MoCap tree (annots.npy with mm
+    translations + distortion, mask_cihp, vertices/params) from the
+    procedural synthetic body. Shared with the real-data readiness drill
+    (tests/test_real_data_drill.py)."""
+    from pathlib import Path
+
+    root = Path(root)
     seq = root / "CoreView_387"
     (seq / "mask_cihp").mkdir(parents=True)
     (seq / "vertices").mkdir()

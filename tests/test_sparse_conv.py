@@ -153,3 +153,52 @@ def test_scatter_channel_sum():
     assert vol[0, 0, 0] == 3.0
     assert vol[1, 2, 3] == 2.0
     assert vol.sum() == 5.0
+
+
+def test_dense_eval_matches_rows_path():
+    """EVAL dense-convolution stack (models.sparse_net.sparse_net_dense_eval)
+    reproduces the table-driven rows path exactly: a SubM conv is a dense
+    conv over the zero-filled volume re-masked to the active set; the
+    strided conv is a dense stride-2 conv masked to the strided set; eval
+    BN is the running-stats affine."""
+    import jax
+
+    from gpnerf_tpu.data.sparse_host import build_host_pyramid
+    from gpnerf_tpu.models.sparse_net import (
+        SparseConvNet,
+        sparse_net_dense_eval,
+    )
+    from gpnerf_tpu.ops.sparse_conv import SparseLevel, scatter_dense
+
+    rng = np.random.default_rng(0)
+    shape = (32, 32, 32)
+    caps = [512, 1024, 512, 256, 128]
+    coord = rng.integers(2, 30, (400, 3))
+    host = build_host_pyramid(coord, shape, caps[0], caps[1:])
+    shapes = [tuple(s >> i for s in shape) for i in range(5)]
+    levels = [
+        SparseLevel(
+            jnp.asarray(host[f"lvl{i}_coords"], jnp.int32),
+            jnp.asarray(host[f"lvl{i}_valid"]),
+            jnp.asarray(host[f"lvl{i}_nbr"], jnp.int32),
+            None if i == 0 else jnp.asarray(host[f"lvl{i}_down"], jnp.int32),
+            shapes[i],
+        )
+        for i in range(5)
+    ]
+    net = SparseConvNet(n_layers=4, out_dim=(8, 8, 8, 8))
+    code = jnp.asarray(rng.standard_normal((caps[0], 16)).astype(np.float32))
+    code = jnp.where(jnp.asarray(host["lvl0_valid"])[:, None], code, 0.0)
+    variables = net.init(
+        jax.random.PRNGKey(0), code, levels, train=False, method="features"
+    )
+    rows = net.apply(variables, code, levels, train=False, method="features")
+    dense_rows = [scatter_dense(rows[i], levels[i + 1]) for i in range(4)]
+    vols = sparse_net_dense_eval(
+        variables["params"], variables.get("batch_stats", {}), code, levels
+    )
+    for i, (a, b) in enumerate(zip(dense_rows, vols)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+            err_msg=f"level {i}",
+        )
