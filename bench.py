@@ -91,28 +91,16 @@ def main():
         cfg.merge_from_list(sys.argv[1:])
     cfg.freeze()
 
-    np.random.seed(0)
-    ds = get("dataset", cfg.dataset.test.file)(cfg, is_train=False)
     render = get("render", cfg.render.file)(cfg)
 
     # host-side batch prep (excluded from timing, like the reference's
-    # DataLoader workers)
-    # sample ACROSS the test set (early items under-sample close-up poses
-    # whose ray/point demand is ~3x higher)
-    n_frames = 10
-    stride = max(1, len(ds) // n_frames)
-    # Per-item seeding of BOTH RNGs (same protocol as tools/quality_sweep):
-    # eval view selection draws from stdlib `random`
-    # (data/base.py select_views, mirroring ZjumocapDataset.py:310-353), so
-    # an unseeded bench renders a different target view per run — PSNR and
-    # cull counts would not be comparable across runs.
-    import random as _random
+    # DataLoader workers); frames stride ACROSS the test set (early items
+    # under-sample close-up poses whose ray/point demand is ~3x higher),
+    # both RNGs seeded per item, disk-cached (utils/bench_frames.py)
+    from gpnerf_tpu.utils.bench_frames import get_bench_frames
 
-    host_batches = []
-    for i in range(n_frames):
-        _random.seed(i)
-        np.random.seed(i)
-        host_batches.append(ds[i * stride])
+    n_frames = 10
+    host_batches = get_bench_frames(cfg, n_frames)
 
     variables = render.init_variables(jax.random.PRNGKey(0), host_batches[0])
 
