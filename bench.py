@@ -208,6 +208,10 @@ def main():
         cfg_ref.tpu.tight_cull = False
         cfg_ref.tpu.samples_per_ray = 64
         cfg_ref.tpu.tap_window = 0
+        # reference projector samples source rgb at FULL image resolution
+        # (demo_render.py:586); the low-res merged table is a speed-mode
+        # deviation and stays out of this mode
+        cfg_ref.tpu.merge_lowres_src = False
         # loose-cull demand measured on the bench frames: 2.52M sigma
         # points / up to 52k rays — caps sized to run drop-free
         cfg_ref.tpu.ray_cap = 65536

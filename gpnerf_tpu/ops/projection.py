@@ -103,17 +103,21 @@ def project_and_gather_quad(xyz, KE, src_quad, feat_quad, h, w, *, neg_ray=False
 def project_and_gather_quad_merged(xyz, KE, srcfeat_quad, h, w, *,
                                    neg_ray=False):
     """`project_and_gather_quad` through ONE combined [rgb|features] quad
-    table at source-image resolution (features upsampled once per frame by
-    ops.grid_sample.upsample_image_align_corners): a single row-gather per
-    (point, view) instead of two.
+    table: a single row-gather per (point, view) instead of two. The table
+    may live at any resolution (features upsampled to source resolution, or
+    source rgb downsampled to feature resolution) — the gather uses the
+    table's own grid; h/w only define the pixel frame of K for the
+    projection/in-bounds math.
 
-    srcfeat_quad: (V, H+1, W+1, 4*(3+C)).
+    srcfeat_quad: (V, Ht+1, Wt+1, 4*(3+C)).
     Returns rgb_feat (P, V, 3 + C), mask (P, V)."""
     from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc
 
     pixel, in_front = compute_projections(xyz, KE, neg_ray=neg_ray)
     norm_pix = normalize_pixels(pixel, h, w)
-    rgb_feat = bilinear_quad_nhwc(srcfeat_quad, norm_pix, h, w)  # (V, P, 3+C)
+    ht = srcfeat_quad.shape[1] - 1
+    wt = srcfeat_quad.shape[2] - 1
+    rgb_feat = bilinear_quad_nhwc(srcfeat_quad, norm_pix, ht, wt)  # (V,P,3+C)
     rgb_feat = rgb_feat.transpose(1, 0, 2)
     mask = (inbound_mask(pixel, h, w) & in_front).astype(rgb_feat.dtype)
     return rgb_feat, mask.transpose(1, 0)

@@ -68,7 +68,8 @@ class Renderer(BaseRenderer):
                  occupancy_threshold=0.1, compute_dtype=None, tight_cull=False,
                  samples_per_ray=24, quantize_volume=False, tap_window=0,
                  merge_coarse_octet=False, dense_conv=False,
-                 merge_src_feat=False, frame_mode=False,
+                 merge_src_feat=False, merge_lowres_src=False,
+                 frame_mode=False, dense_slots=False,
                  window_margin_voxels=6.0, **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
@@ -103,6 +104,7 @@ class Renderer(BaseRenderer):
         self.merge_coarse_octet = bool(merge_coarse_octet)
         self.dense_conv = bool(dense_conv)
         self.merge_src_feat = bool(merge_src_feat)
+        self.merge_lowres_src = bool(merge_lowres_src)
         # frame_mode: evaluate the K consecutive front-anchored samples of
         # EVERY ray directly as the (K, R) frame — no occupancy tap, no
         # rank/global compaction, no composite scatters; the reference's
@@ -111,6 +113,17 @@ class Renderer(BaseRenderer):
         # (tap_window > 0) and a non-neg_ray dataset; falls back to the
         # compacted pipeline otherwise.
         self.frame_mode = bool(frame_mode)
+        # dense_slots: evaluate ALL K*R compacted slots as the dense
+        # slot-major (K, R) frame instead of globally compacting them to
+        # sigma_cap — the SAME surviving points (per-ray rank compaction is
+        # unchanged), plus masked (zero-weight) rows for rays with < K
+        # survivors. Trades ~17% more rows through the point stages
+        # (K*ray_cap vs sigma_cap) for dropping the whole global-compaction
+        # chain: the sig_cap nonzero, the packed point-recompute gather,
+        # and the sigma/rgb scatter-backs into (K, R) composite planes.
+        # Quality-identical to the compacted path whenever that path has
+        # zero sigma-cap drops (the shipped regime).
+        self.dense_slots = bool(dense_slots)
         # front-margin of the zmin window, in level-0 voxels (6 = 3 level-1
         # voxels): guards splat-granularity overshoot of the front depth
         self.window_margin_voxels = float(window_margin_voxels)
@@ -295,6 +308,37 @@ class Renderer(BaseRenderer):
         if stop_stage == "cull_slots":
             return ({"dbg": slot_relT.sum() + perray_overflow}, None)
 
+        if self.dense_slots:
+            # evaluate the whole (K, R) slot frame in identity layout: no
+            # global compaction, no point-recompute gather, no composite
+            # scatters. Masked slots clamp to the last window sample and
+            # zero out through sig_ok.
+            P = nr * K
+            s_absT = s_lo_f[None, :] + jnp.minimum(slot_relT, W - 1).astype(
+                jnp.float32
+            )  # (K, R)
+            tT = s_absT / jnp.float32(S - 1)
+            zT = near[None, :] * (1.0 - tT) + far[None, :] * tT
+            comps = [
+                rays_o[None, :, i] + rays_d[None, :, i] * zT for i in range(3)
+            ]
+            pts_c = jnp.stack(comps, axis=-1).reshape(P, 3)
+            sig_ok = slot_validT.reshape(P)
+            # (measured: pinning invalid slots' points to one constant row
+            # does NOT speed the downstream gathers on this runtime — no
+            # repeated-row/locality effect, same result as the round-2
+            # cell-sort experiment — so masked slots just keep their
+            # clamped sample position)
+            dhw_c = self.points_to_dhw_vox(pts_c, batch)
+            if stop_stage == "cull_compact":
+                return ({"dbg": pts_c.sum() + dhw_c.sum()}, None)
+            return self._point_stages(
+                apply, batch, pre, tables, pts_c, dhw_c, sig_ok, None,
+                perray_overflow, jnp.int32(0), K, nr, ray_ok, neg_ray,
+                frame_mode=True, mask_from_query=False,
+                n_sigma=slot_validT.sum(), stop_stage=stop_stage,
+            )
+
         # global compaction to sigma_cap, SLOT-major: overflow drops the
         # deepest slot uniformly across rays (graceful degradation) instead
         # of whole image regions
@@ -335,8 +379,8 @@ class Renderer(BaseRenderer):
 
     def _point_stages(self, apply, batch, pre, tables, pts_c, dhw_c, sig_ok,
                       sig_idx_t, perray_overflow, sig_overflow, K, nr,
-                      ray_ok, neg_ray, *, frame_mode, n_sigma=None,
-                      stop_stage=None):
+                      ray_ok, neg_ray, *, frame_mode, mask_from_query=None,
+                      n_sigma=None, stop_stage=None):
         """Stages (6)-(8): projection gather, density, color, composite —
         over either the compacted point list (sig_idx_t slot-major indices)
         or the full (K, R) frame (frame_mode: identity layout, no
@@ -366,8 +410,10 @@ class Renderer(BaseRenderer):
 
         # (6) density (:294-314). frame_mode also reads the level-1
         # trilinear occupancy off the same query (the reference tight cull)
+        if mask_from_query is None:
+            mask_from_query = frame_mode
         kw = {} if octet_scales is None else {"scales": octet_scales}
-        if frame_mode:
+        if mask_from_query:
             sigma_feat, occ_l1 = apply(
                 lambda m, *a, **k: m.sigmahead.query_sigma_feat_octet(
                     *a, **k, with_l1_occ=True
@@ -615,6 +661,25 @@ class Renderer(BaseRenderer):
                 comb = comb.astype(self.compute_dtype)
             src_quad = build_quad_table_2d(comb)  # (V, H+1, W+1, 140)
             feat_quad = None
+        elif self.merge_lowres_src:
+            # opposite merge: source rgb DOWNSAMPLED (align-corners
+            # bilinear) to the encoder feature grid and packed with the
+            # features into one small [rgb|feat] table — one gather per
+            # (point, view) at the cost of rgb detail above the feature
+            # grid's Nyquist
+            from gpnerf_tpu.ops.grid_sample import upsample_image_align_corners
+
+            Hf, Wf = featmaps.shape[1:3]
+            src_low = upsample_image_align_corners(
+                src_unnorm.astype(jnp.float32), Hf, Wf
+            )
+            comb = jnp.concatenate(
+                [src_low, featmaps.astype(jnp.float32)], axis=-1
+            )
+            if self.compute_dtype is not None:
+                comb = comb.astype(self.compute_dtype)
+            src_quad = build_quad_table_2d(comb)  # (V, Hf+1, Wf+1, 140)
+            feat_quad = None
         else:
             src_quad = build_quad_table_2d(src_unnorm)
             feat_quad = build_quad_table_2d(featmaps)
@@ -623,7 +688,7 @@ class Renderer(BaseRenderer):
                 "dbg": sum(v.sum() for v in octet_vols)
                 + masks3d.sum()
                 + src_quad.sum()
-                + feat_quad.sum()
+                + (0.0 if feat_quad is None else feat_quad.sum())
             }
 
         # occupied voxels -> world points. With tight_cull the splat source
@@ -1010,7 +1075,9 @@ def build_render(cfg):
         merge_coarse_octet=cfg.tpu.merge_coarse_octet,
         dense_conv=cfg.tpu.dense_conv,
         merge_src_feat=cfg.tpu.merge_src_feat,
+        merge_lowres_src=cfg.tpu.merge_lowres_src,
         frame_mode=cfg.tpu.frame_mode,
+        dense_slots=cfg.tpu.dense_slots,
         window_margin_voxels=cfg.tpu.window_margin_voxels,
     )
 

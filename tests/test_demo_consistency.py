@@ -42,6 +42,9 @@ def test_demo_matches_base_on_covered_pixels():
     cfg.dataset.test.sampler = "FrameSampler"
     cfg.tpu.matmul_dtype = "float32"  # numerical comparison
     cfg.tpu.quantize_volume = False  # quantization judged by the TPU sweep
+    # speed-mode rgb approximation (judged by the TPU bench PSNR, not by
+    # demo-vs-Base agreement: BaseRender gathers full-res rgb)
+    cfg.tpu.merge_lowres_src = False
     cfg.tpu.ray_cap = 16384
     cfg.tpu.sigma_cap = 262144
     cfg.tpu.rgb_cap = 131072

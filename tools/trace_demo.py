@@ -71,17 +71,16 @@ def parse(trace_dir, n_top=40, n_frames=8):
     with open(max(paths, key=os.path.getmtime), "rb") as f:
         space.ParseFromString(f.read())
     for plane in space.planes:
-        is_device = ("TPU" in plane.name or "/device" in plane.name.lower())
-        if not is_device:
+        if not plane.name.startswith("/device:TPU"):
             continue
         meta = {m.id: m.name for m in plane.event_metadata.values()}
-        stats_meta = {m.id: m.name for m in plane.stat_metadata.values()}
         total = defaultdict(float)
         count = defaultdict(int)
         for line in plane.lines:
-            lname = line.name.lower()
-            # keep op-level lines; skip step/module summary lines
-            if "step" in lname or "module" in lname:
+            # ONLY the 'XLA Ops' line: it tiles the module exactly (busy ==
+            # module time); 'Async XLA Ops' double-counts overlapping
+            # copy/slice-start windows (227 ms/frame apparent vs 72 real)
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
                 name = meta.get(ev.metadata_id, str(ev.metadata_id))
@@ -99,11 +98,14 @@ def parse(trace_dir, n_top=40, n_frames=8):
                 f"{ms / n_frames:8.3f} ms  x{count[name] // n_frames:<4d}"
                 f" {name[:110]}"
             )
+        tail = items[n_top:]
+        tail_ms = sum(ms for _, ms in tail)
+        tail_n = sum(count[name] for name, _ in tail)
         print(
             f"   total {grand / n_frames:.1f} ms/frame; top-{n_top} covers "
-            f"{acc / max(grand, 1e-9) * 100:.0f}%"
+            f"{acc / max(grand, 1e-9) * 100:.0f}%; tail {len(tail)} op kinds"
+            f" x{tail_n // n_frames} execs = {tail_ms / n_frames:.1f} ms"
         )
-        _ = stats_meta
 
 
 if __name__ == "__main__":
