@@ -208,6 +208,53 @@ def bilinear_quad_nhwc(table, grid, h, w):
     return out
 
 
+def bilinear_quad_nhwc_pv(table, grid, h, w):
+    """`bilinear_quad_nhwc` with the gather emitted in (P, V) row order
+    from the view-concatenated flat table: ONE gather op whose output is
+    already (P, V, C) — no (V, P, C) -> (P, V, C) transpose copy (measured
+    1.2 ms on the 344k-point demo frame).
+
+    table: (V, H+1, W+1, 4C); grid: (V, P, 2) normalized (align_corners).
+    Returns (P, V, C)."""
+    V = table.shape[0]
+    C4 = table.shape[-1]
+    C = C4 // 4
+    x = _unnormalize(grid[..., 0], w)
+    y = _unnormalize(grid[..., 1], h)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = (x - x0)
+    wy1 = (y - y0)
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    xc = jnp.clip(xi, -1, w - 1) + 1
+    yc = jnp.clip(yi, -1, h - 1) + 1
+    stride = (h + 1) * (w + 1)
+    voff = jnp.arange(V, dtype=jnp.int32)[:, None] * stride  # (V, 1)
+    idx_pv = (yc * (w + 1) + xc + voff).T  # (P, V)
+    flat = table.reshape(V * stride, C4)
+    rows = flat[idx_pv]  # (P, V, 4C) — gather directly in (P, V) order
+    dt = table.dtype
+    wx1 = wx1.T.astype(dt)
+    wy1 = wy1.T.astype(dt)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    xiT = xi.T
+    yiT = yi.T
+
+    def tapw(xi_, yi_, wgt):
+        inb = (xi_ >= 0) & (xi_ <= w - 1) & (yi_ >= 0) & (yi_ <= h - 1)
+        return (wgt * inb.astype(dt))[..., None]
+
+    out = (
+        rows[..., 0 * C : 1 * C] * tapw(xiT, yiT, wx0 * wy0)
+        + rows[..., 1 * C : 2 * C] * tapw(xiT + 1, yiT, wx1 * wy0)
+        + rows[..., 2 * C : 3 * C] * tapw(xiT, yiT + 1, wx0 * wy1)
+        + rows[..., 3 * C : 4 * C] * tapw(xiT + 1, yiT + 1, wx1 * wy1)
+    )
+    return out
+
+
 def build_octet_table_3d(vol):
     """Trilinear analog of build_quad_table_2d: table[z+1, y+1, x+1] packs
     the 8 corners of the cell at base (z, y, x) for bases in [-1, size-1].
@@ -315,8 +362,6 @@ def trilinear_octet_rows(table, pos, size, scale=None, out_dtype=None):
     bc = jnp.clip(base, -1, jnp.asarray([Dp - 2, Hp - 2, Wp - 2])) + 1
     flat = table.reshape(-1, C8)
     rows = flat[(bc[:, 0] * Hp + bc[:, 1]) * Wp + bc[:, 2]]  # (P, 8C)
-    if scale is not None:
-        rows = rows.astype(wdt)
     out = 0.0
     for k, sel in enumerate(_it.product((0, 1), repeat=3)):
         corner = base + jnp.asarray(sel, jnp.int32)
@@ -326,7 +371,10 @@ def trilinear_octet_rows(table, pos, size, scale=None, out_dtype=None):
             * (w1[:, 1] if sel[1] else w0[:, 1])
             * (w1[:, 2] if sel[2] else w0[:, 2])
         )
-        out = out + rows[:, k * C : (k + 1) * C] * (
+        # per-corner-slice convert: quantized (u8) tables are converted
+        # inside the fused weighted sum instead of materializing a full
+        # (P, 8C) float copy of the gather output first
+        out = out + rows[:, k * C : (k + 1) * C].astype(wdt) * (
             w * inb.astype(wdt)
         )[:, None]
     if scale is not None:

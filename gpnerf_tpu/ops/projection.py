@@ -111,14 +111,14 @@ def project_and_gather_quad_merged(xyz, KE, srcfeat_quad, h, w, *,
 
     srcfeat_quad: (V, Ht+1, Wt+1, 4*(3+C)).
     Returns rgb_feat (P, V, 3 + C), mask (P, V)."""
-    from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc
+    from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc_pv
 
     pixel, in_front = compute_projections(xyz, KE, neg_ray=neg_ray)
     norm_pix = normalize_pixels(pixel, h, w)
     ht = srcfeat_quad.shape[1] - 1
     wt = srcfeat_quad.shape[2] - 1
-    rgb_feat = bilinear_quad_nhwc(srcfeat_quad, norm_pix, ht, wt)  # (V,P,3+C)
-    rgb_feat = rgb_feat.transpose(1, 0, 2)
+    # gather emitted directly in (P, V) row order (no transpose copy)
+    rgb_feat = bilinear_quad_nhwc_pv(srcfeat_quad, norm_pix, ht, wt)
     mask = (inbound_mask(pixel, h, w) & in_front).astype(rgb_feat.dtype)
     return rgb_feat, mask.transpose(1, 0)
 

@@ -194,8 +194,16 @@ def stride_active_set(grid: SparseGrid, out_cap: int):
         occ = occ.at[safe[:, 0], safe[:, 1], safe[:, 2]].set(1, mode="drop")
     flat = occ.reshape(-1)
     total = flat.sum()
-    (flat_idx,) = jnp.nonzero(flat, size=out_cap, fill_value=-1)
-    out_valid = flat_idx >= 0
+    # cumsum + scatter compaction (sized jnp.nonzero lowers through a full
+    # sort on TPU); ascending flat order, -1-filled tail, like before
+    pos = jnp.cumsum(flat) - flat
+    tgt = jnp.where((flat > 0) & (pos < out_cap), pos, out_cap)
+    flat_idx = (
+        jnp.full((out_cap,), -1, jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(flat.shape[0], dtype=jnp.int32), mode="drop")
+    )
+    out_valid = jnp.arange(out_cap, dtype=jnp.int32) < total
     safe_idx = jnp.maximum(flat_idx, 0)
     od = safe_idx // (oH * oW)
     oh = (safe_idx // oW) % oH

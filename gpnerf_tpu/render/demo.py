@@ -53,11 +53,25 @@ from gpnerf_tpu.render.base import Renderer as BaseRenderer
 
 def _compact(mask_flat, cap):
     """Static-size index compaction. Returns (idx (cap,), ok (cap,),
-    overflow)."""
+    overflow).
+
+    cumsum + scatter instead of jnp.nonzero(size=cap): XLA lowers
+    sized nonzero through a full sort of (mask, iota) pairs — ~2.3 ms for
+    the 512^2 pixel mask on v5e — while the exclusive-prefix scatter is a
+    couple of cheap passes. Same output: indices in ascending order,
+    n-filled tail."""
     n = mask_flat.shape[0]
-    (idx,) = jnp.nonzero(mask_flat, size=cap, fill_value=n)
-    ok = idx < n
-    overflow = jnp.maximum(mask_flat.sum() - cap, 0)
+    m = mask_flat.astype(jnp.int32)
+    pos = jnp.cumsum(m) - m  # exclusive prefix
+    total = pos[-1] + m[-1]
+    tgt = jnp.where(mask_flat & (pos < cap), pos, cap)
+    idx = (
+        jnp.full((cap,), n, jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    )
+    ok = jnp.arange(cap, dtype=jnp.int32) < total
+    overflow = jnp.maximum(total - cap, 0)
     return idx, ok, overflow
 
 
