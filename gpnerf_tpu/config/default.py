@@ -231,6 +231,16 @@ cfg.tpu.frame_mode = False
 cfg.tpu.dense_slots = True
 # zmin-window front margin in level-0 voxels (6 = 3 level-1 voxels)
 cfg.tpu.window_margin_voxels = 6.0
+# splat-bin cull: occupied voxels scatter per-pixel depth-bin occupancy
+# masks during the pixel splat; the per-sample occupancy tap (ray_cap * W
+# random byte gathers, the largest single op of the fast pipeline) becomes
+# ONE (n_samples,)-byte-row gather per ray. The cull keeps sample s of
+# pixel p iff an occupied voxel splat-covers (p +- 1 px, bin s +- margin) —
+# the same splat+dilation geometry that generates the rays. tight_cull
+# non-neg_ray only; falls back to the tap otherwise.
+cfg.tpu.splat_bins = False
+# half-extent of a voxel's depth-bin coverage, level-0 voxel units
+cfg.tpu.bin_margin_voxels = 2.0
 # upsample encoder features to source resolution (align-corners separable
 # matmuls, once per frame) and pack them WITH the source rgb into one
 # [rgb|feat] quad table: ONE projection gather per (point, view) instead

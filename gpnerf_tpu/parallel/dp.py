@@ -179,6 +179,7 @@ def make_dp_demo_render(renderer, mesh, axis: str = "dp"):
             variables["head"], batch, pre, tables,
             sl1(rd["rays_o"]), sl1(rd["rays_d"]), sl1(rd["near"]),
             sl1(rd["far"]), sl1(rd["ray_ok"]), zmin=sl1(rd["zmin"]),
+            bins=None if rd.get("bins") is None else sl1(rd["bins"]),
         )
         # per-shard counters SUM across the mesh (each shard counts its own
         # slice of rays/points); ray_overflow comes from the replicated

@@ -84,7 +84,8 @@ class Renderer(BaseRenderer):
                  merge_coarse_octet=False, dense_conv=False,
                  merge_src_feat=False, merge_lowres_src=False,
                  frame_mode=False, dense_slots=False,
-                 window_margin_voxels=6.0, **kwargs):
+                 window_margin_voxels=6.0, splat_bins=False,
+                 bin_margin_voxels=2.0, **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
@@ -141,6 +142,13 @@ class Renderer(BaseRenderer):
         # front-margin of the zmin window, in level-0 voxels (6 = 3 level-1
         # voxels): guards splat-granularity overshoot of the front depth
         self.window_margin_voxels = float(window_margin_voxels)
+        # splat-bin cull: occupied voxels scatter per-pixel DEPTH-BIN masks
+        # during the splat; the per-sample occupancy tap (ray_cap * W
+        # random byte gathers) becomes one (S,)-row gather per ray.
+        # tight_cull non-neg_ray only; bin_margin_voxels = half-extent of a
+        # voxel's bin coverage in level-0 voxel units.
+        self.splat_bins = bool(splat_bins)
+        self.bin_margin_voxels = float(bin_margin_voxels)
         self._demo_jit = None
         self._encoder_jit = None
         self._last_etime = 0.0
@@ -186,10 +194,58 @@ class Renderer(BaseRenderer):
             tgt = jnp.where(row_ok, yy * Wimg + xx, oob)
             pixmask = pixmask.at[tgt].set(1, mode="drop")
             zmin = zmin.at[tgt].min(depth, mode="drop")
-        return pixmask, zmin
+        return pixmask, zmin, (minx, miny, maxx, maxy)
+
+    def _splat_bins(self, pts_w, row_ok, batch, Himg, Wimg, can_bounds,
+                    minx, miny, maxx, maxy):
+        """Scatter each occupied voxel's DEPTH-BIN occupancy into its 4
+        splat pixels: binimg[pix, s] = 1 iff some occupied voxel covers
+        sample s of pixel pix's reference 64-grid. Replaces the per-sample
+        occupancy tap (ray_cap * W random byte-gathers) with one
+        (S,)-row gather per ray. Bin indices use the SAME per-pixel
+        near/far (ray/AABB slab, camera-z parameterization) as the ray
+        stage, so a marked bin is exactly a 64-grid sample inside the
+        voxel's depth extent (+- bin_margin). Returns (Himg*Wimg, S) u8,
+        4-neighborhood-dilated in the pixel plane (the same dilation the
+        pixmask gets — splat granularity can exceed 1 px at close range)."""
+        S = self.n_samples
+        tp = batch["target_pose"]
+        N = pts_w.shape[0]
+        depth = pts_w @ tp[2, :3] + tp[2, 3]  # camera z == ray t-parameter
+        xs = jnp.stack([minx, minx, maxx, maxx], 0).reshape(-1)  # (4N,)
+        ys = jnp.stack([miny, maxy, miny, maxy], 0).reshape(-1)
+        xy1 = jnp.stack(
+            [xs, ys, jnp.ones_like(xs)], axis=-1
+        ).astype(jnp.float32)
+        ro, rd = pixel_rays(
+            xy1, batch["target_K_inv"], tp[:, :3], tp[:, 3:]
+        )
+        near, far, mask_box = ray_aabb_near_far(ro, rd, can_bounds)
+        dz = jnp.maximum((far - near) / (S - 1), 1e-9)
+        rad = self.bin_margin_voxels * jnp.float32(self.voxel_size[0])
+        dep4 = jnp.tile(depth, 4)
+        b0 = jnp.floor((dep4 - rad - near) / dz).astype(jnp.int32)
+        b1 = jnp.ceil((dep4 + rad - near) / dz).astype(jnp.int32)
+        ok4 = jnp.tile(row_ok, 4) & mask_box
+        pix4 = ys * Wimg + xs
+        binimg = jnp.zeros((Himg * Wimg * S,), jnp.uint8)
+        oob = Himg * Wimg * S
+        for j in range(6):  # static span: covers 2*rad + rounding at any dz
+            bj = b0 + j
+            okj = ok4 & (bj <= b1) & (bj >= 0) & (bj < S)
+            tgt = jnp.where(okj, pix4 * S + jnp.clip(bj, 0, S - 1), oob)
+            binimg = binimg.at[tgt].set(1, mode="drop")
+        bi = binimg.reshape(Himg, Wimg, S)
+        bi = (
+            bi
+            | jnp.roll(bi, 1, 0) | jnp.roll(bi, -1, 0)
+            | jnp.roll(bi, 1, 1) | jnp.roll(bi, -1, 1)
+        )
+        return bi.reshape(Himg * Wimg, S)
 
     def _ray_pipeline(self, head_vars, batch, pre, tables, rays_o, rays_d,
-                      near, far, ray_ok, zmin=None, stop_stage=None):
+                      near, far, ray_ok, zmin=None, bins=None,
+                      stop_stage=None):
         """Stages (5)-(8) — occupancy cull, per-ray K-slot compaction,
         projection gather, density, color, composite — over a (possibly
         device-sharded) slice of rays. Point capacities scale with the
@@ -217,9 +273,14 @@ class Renderer(BaseRenderer):
 
         # windowed tap start: W consecutive grid samples from the splat
         # front depth minus a 3-level-1-voxel margin (neg_ray flips the
-        # depth sign; the window is disabled there and W falls back to S)
+        # depth sign; the window is disabled there and W falls back to S).
+        # With splat bins the occupancy signal arrives AS (R, S) per-ray
+        # bin rows — no window, no tap.
         use_window = (
-            0 < self.tap_window < S and not neg_ray and zmin is not None
+            bins is None
+            and 0 < self.tap_window < S
+            and not neg_ray
+            and zmin is not None
         )
         W = max(self.tap_window, K) if use_window else S
         if use_window:
@@ -267,44 +328,56 @@ class Renderer(BaseRenderer):
 
         # (5) occupancy cull (:270-283). The reference keeps points whose
         # trilinear occupancy sample is > 0, i.e. any corner of the point's
-        # cell is occupied. Equivalent-or-looser single-tap form: one-voxel
-        # dilation of the binary occupancy, nearest-neighbor lookup — 1
-        # byte-sized gather per point instead of 8 float taps (the cull is
-        # conservative: keeping a superset only adds a few points
-        # downstream). Candidate positions are computed per-ray affinely as
-        # (W, R) component planes — no (R*S, 3) point buffers, no trailing
-        # length-3 axes.
-        tT = (
-            s_lo_f[None, :]
-            + jnp.arange(W, dtype=jnp.float32)[:, None]
-        ) / jnp.float32(S - 1)  # (W, R) grid parameter s/(S-1)
-        zT = near[None, :] * (1.0 - tT) + far[None, :] * tT  # (W, R)
-        Rh = batch["Rh"]
-        Th = batch["Th"].reshape(3)
-        min_xyz = batch["bounds"][0]
-        vs_xyz = jnp.asarray(self.voxel_size, jnp.float32)
-        size1 = out_sh // 2
-        D1c, H1c, W1c = occb.shape
-        scale1 = (size1 - 1).astype(jnp.float32) / out_sh.astype(jnp.float32)
-        cap1 = jnp.asarray([D1c - 1, H1c - 1, W1c - 1])
-        cellT = []
-        inbT = jnp.full((W, nr), True)
-        for j in (2, 1, 0):  # dhw component j = canonical axis (2-j)
-            # world -> canonical -> level-0 voxel units -> level-1 cell,
-            # all as (W, R) planes (points_to_dhw_vox componentwise)
-            can_j = sum(
-                (rays_o[None, :, i] + rays_d[None, :, i] * zT - Th[i])
-                * Rh[i, 2 - j]
-                for i in range(3)
+        # cell is occupied.
+        if bins is not None:
+            # splat-bin form: the (R, S) per-ray bin rows gathered in the
+            # frame stage ARE the cull — a sample survives iff an occupied
+            # voxel splat-covers (pixel +-1, depth bin +- margin). W == S;
+            # no per-sample gathers, no in-volume test (a marked bin
+            # implies a real voxel).
+            ok = (bins.T > 0) & ray_ok[None, :]  # (S, R)
+        else:
+            # Equivalent-or-looser single-tap form: one-voxel dilation of
+            # the binary occupancy, nearest-neighbor lookup — 1 byte-sized
+            # gather per point instead of 8 float taps (the cull is
+            # conservative: keeping a superset only adds a few points
+            # downstream). Candidate positions are computed per-ray
+            # affinely as (W, R) component planes — no (R*S, 3) point
+            # buffers, no trailing length-3 axes.
+            tT = (
+                s_lo_f[None, :]
+                + jnp.arange(W, dtype=jnp.float32)[:, None]
+            ) / jnp.float32(S - 1)  # (W, R) grid parameter s/(S-1)
+            zT = near[None, :] * (1.0 - tT) + far[None, :] * tT  # (W, R)
+            Rh = batch["Rh"]
+            Th = batch["Th"].reshape(3)
+            min_xyz = batch["bounds"][0]
+            vs_xyz = jnp.asarray(self.voxel_size, jnp.float32)
+            size1 = out_sh // 2
+            D1c, H1c, W1c = occb.shape
+            scale1 = (size1 - 1).astype(jnp.float32) / out_sh.astype(
+                jnp.float32
             )
-            pos1_j = (can_j - min_xyz[2 - j]) / vs_xyz[2 - j] * scale1[j]
-            cell_j = jnp.round(pos1_j).astype(jnp.int32)
-            inbT = inbT & (cell_j >= 0) & (cell_j < size1[j])
-            cellT.append(jnp.clip(cell_j, 0, cap1[j]))
-        flat_idxT = (cellT[2] * H1c + cellT[1]) * W1c + cellT[0]
-        ok = (
-            (occb.reshape(-1)[flat_idxT] > 0) & inbT & ray_ok[None, :]
-        )  # (W, R)
+            cap1 = jnp.asarray([D1c - 1, H1c - 1, W1c - 1])
+            cellT = []
+            inbT = jnp.full((W, nr), True)
+            for j in (2, 1, 0):  # dhw component j = canonical axis (2-j)
+                # world -> canonical -> level-0 voxel units -> level-1
+                # cell, all as (W, R) planes (points_to_dhw_vox
+                # componentwise)
+                can_j = sum(
+                    (rays_o[None, :, i] + rays_d[None, :, i] * zT - Th[i])
+                    * Rh[i, 2 - j]
+                    for i in range(3)
+                )
+                pos1_j = (can_j - min_xyz[2 - j]) / vs_xyz[2 - j] * scale1[j]
+                cell_j = jnp.round(pos1_j).astype(jnp.int32)
+                inbT = inbT & (cell_j >= 0) & (cell_j < size1[j])
+                cellT.append(jnp.clip(cell_j, 0, cap1[j]))
+            flat_idxT = (cellT[2] * H1c + cellT[1]) * W1c + cellT[0]
+            ok = (
+                (occb.reshape(-1)[flat_idxT] > 0) & inbT & ray_ok[None, :]
+            )  # (W, R)
         if stop_stage == "cull_occ":
             return ({"dbg": ok.sum()}, None)
 
@@ -738,7 +811,9 @@ class Renderer(BaseRenderer):
         can_bounds = jnp.stack([min_xyz, max_xyz])  # (demo :168-175)
 
         # (3) splat occupied voxels into the target view (:179-199)
-        pixmask, zmin_flat = self._splat_pixels(pts_w, row_ok, batch, Himg, Wimg)
+        pixmask, zmin_flat, corners = self._splat_pixels(
+            pts_w, row_ok, batch, Himg, Wimg
+        )
         # front-depth image: 4-neighborhood min fills dilation-only pixels
         # and guards against splat-granularity overshoot (windowed tap)
         zm = zmin_flat.reshape(Himg, Wimg)
@@ -778,15 +853,31 @@ class Renderer(BaseRenderer):
         if stop_stage == "rays":
             return {"dbg": near.sum() + far.sum() + ray_ok.sum()}
 
-        # occupancy-cull byte volume (one-voxel dilated; see _ray_pipeline)
-        if self.tight_cull:
-            cull_vol = occupancy_volume_dense(vols, levels=(0,))
+        use_bins = self.splat_bins and self.tight_cull and not neg_ray
+        if use_bins:
+            # splat-bin cull: the occupancy signal rides the splat itself
+            # (per-pixel depth-bin masks); no byte occupancy volume, no
+            # per-sample tap gathers
+            binimg = self._splat_bins(
+                pts_w, row_ok, batch, Himg, Wimg, can_bounds, *corners
+            )
+            bins = binimg[jnp.minimum(pix_idx, oob - 1)]  # (ray_cap, S) u8
+            occb = None
         else:
-            cull_vol = masks3d
-        occb = cull_vol > 0
-        for ax in range(3):
-            occb = occb | jnp.roll(occb, 1, axis=ax) | jnp.roll(occb, -1, axis=ax)
-        occb = occb.astype(jnp.uint8)  # byte gathers: 4x less random traffic
+            bins = None
+            # occupancy-cull byte volume (one-voxel dilated; _ray_pipeline)
+            if self.tight_cull:
+                cull_vol = occupancy_volume_dense(vols, levels=(0,))
+            else:
+                cull_vol = masks3d
+            occb = cull_vol > 0
+            for ax in range(3):
+                occb = (
+                    occb
+                    | jnp.roll(occb, 1, axis=ax)
+                    | jnp.roll(occb, -1, axis=ax)
+                )
+            occb = occb.astype(jnp.uint8)  # byte gathers: less random traffic
         tables = {
             "occb": occb,
             "octet_vols": octet_vols,
@@ -804,6 +895,7 @@ class Renderer(BaseRenderer):
             "pix_idx": pix_idx,
             "ray_overflow": ray_overflow,
             "can_bounds": can_bounds,
+            "bins": bins,
         }
 
     def _demo_impl(self, variables, batch, featmaps, stop_stage=None):
@@ -820,7 +912,7 @@ class Renderer(BaseRenderer):
         rgb_map, stats = self._ray_pipeline(
             variables["head"], batch, pre, tables,
             rd["rays_o"], rd["rays_d"], rd["near"], rd["far"], ray_ok,
-            zmin=rd["zmin"], stop_stage=stop_stage,
+            zmin=rd["zmin"], bins=rd["bins"], stop_stage=stop_stage,
         )
         if stats is None:
             return rgb_map  # the pipeline returned a stage checksum dict
@@ -1093,6 +1185,8 @@ def build_render(cfg):
         frame_mode=cfg.tpu.frame_mode,
         dense_slots=cfg.tpu.dense_slots,
         window_margin_voxels=cfg.tpu.window_margin_voxels,
+        splat_bins=cfg.tpu.splat_bins,
+        bin_margin_voxels=cfg.tpu.bin_margin_voxels,
     )
 
 

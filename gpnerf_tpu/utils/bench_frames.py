@@ -26,10 +26,16 @@ _CACHE_VERSION = 1
 
 
 def _fingerprint(cfg, indices) -> str:
+    # ONLY keys that change the host-built batch dicts: the dataset block
+    # and the pyramid-table capacities. The rest of cfg.tpu (renderer
+    # knobs) must NOT invalidate the cache — adding a renderer option
+    # would force a minutes-long frame rebuild per measurement run.
     relevant = {
         "v": _CACHE_VERSION,
         "dataset": repr(cfg.dataset),
-        "tpu": repr(cfg.tpu),
+        "site_cap": cfg.tpu.site_cap,
+        "level_caps": list(cfg.tpu.level_caps),
+        "max_out_sh": list(cfg.tpu.max_out_sh),
         "head": repr(cfg.head),
         "cam_num": cfg.cam_num,
         "src_view_num": cfg.src_view_num,

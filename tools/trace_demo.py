@@ -106,6 +106,10 @@ def parse(trace_dir, n_top=40, n_frames=8):
             f"{acc / max(grand, 1e-9) * 100:.0f}%; tail {len(tail)} op kinds"
             f" x{tail_n // n_frames} execs = {tail_ms / n_frames:.1f} ms"
         )
+        print("   -- tail top 20 --")
+        for name, ms in tail[:20]:
+            print(f"{ms / n_frames:8.3f} ms  x{count[name] // n_frames:<4d}"
+                  f" {name[:110]}")
 
 
 if __name__ == "__main__":
