@@ -228,6 +228,8 @@ class Renderer(BaseRenderer):
         b1 = jnp.ceil((dep4 + rad - near) / dz).astype(jnp.int32)
         ok4 = jnp.tile(row_ok, 4) & mask_box
         pix4 = ys * Wimg + xs
+        # u8 bin image (i32 measured SLOWER here: 59.7 vs 58.2 ms/frame —
+        # 4x the buffer outweighs word-aligned scatter writes)
         binimg = jnp.zeros((Himg * Wimg * S,), jnp.uint8)
         oob = Himg * Wimg * S
         for j in range(6):  # static span: covers 2*rad + rounding at any dz

@@ -46,11 +46,15 @@ def _fingerprint(cfg, indices) -> str:
 
 def get_bench_frames(cfg, n_frames=10, cache_root=None, verbose=True):
     """The bench frame protocol: stride across the test set, both RNGs
-    seeded with the item's position. Returns a list of host batch dicts."""
+    seeded with the item's position. n_frames=None takes the FULL test set
+    (the quality_sweep protocol — stride 1, seed == index). Returns a list
+    of host batch dicts."""
     from gpnerf_tpu.registry import get
 
     np.random.seed(0)
     ds = get("dataset", cfg.dataset.test.file)(cfg, is_train=False)
+    if n_frames is None:
+        n_frames = len(ds)
     stride = max(1, len(ds) // n_frames)
     indices = [i * stride for i in range(n_frames)]
 

@@ -108,3 +108,68 @@ def test_quad_projection_matches_reference_path():
     )
     np.testing.assert_allclose(np.asarray(q_feat), np.asarray(ref_feat), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(q_mask), np.asarray(ref_mask))
+
+
+def test_quad_pv_gather_matches_per_view_form():
+    """bilinear_quad_nhwc_pv ((P, V)-ordered view-concat gather) ==
+    bilinear_quad_nhwc transposed, including out-of-bounds zeroing."""
+    from gpnerf_tpu.ops.grid_sample import (
+        bilinear_quad_nhwc,
+        bilinear_quad_nhwc_pv,
+        build_quad_table_2d,
+    )
+
+    rng = np.random.default_rng(3)
+    V, H, W, C = 3, 9, 7, 5
+    img = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    tab = build_quad_table_2d(img)
+    grid = jnp.asarray(
+        rng.uniform(-1.3, 1.3, size=(V, 64, 2)).astype(np.float32)
+    )
+    ref = bilinear_quad_nhwc(tab, grid, H, W).transpose(1, 0, 2)
+    out = bilinear_quad_nhwc_pv(tab, grid, H, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-7)
+
+
+def test_merged_lowres_projection_matches_separate_gathers():
+    """project_and_gather_quad_merged with a low-res [rgb|feat] table ==
+    separate quad gathers when BOTH maps live on the same (feature) grid."""
+    from gpnerf_tpu.ops.grid_sample import build_quad_table_2d
+    from gpnerf_tpu.ops.projection import (
+        project_and_gather_quad,
+        project_and_gather_quad_merged,
+    )
+
+    rng = np.random.default_rng(11)
+    V, H, W, C = 3, 16, 16, 6
+    Hf, Wf = 5, 5
+    src_low = jnp.asarray(rng.standard_normal((V, Hf, Wf, 3)).astype(np.float32))
+    feat = jnp.asarray(rng.standard_normal((V, Hf, Wf, C)).astype(np.float32))
+    KE = jnp.asarray(
+        np.stack([np.eye(4, dtype=np.float32) for _ in range(V)])
+        + 0.01 * rng.standard_normal((V, 4, 4)).astype(np.float32)
+    )
+    xyz = jnp.asarray(rng.uniform(-2, 2, size=(200, 3)).astype(np.float32))
+    # reference: separate bilinear gathers of each map on the SAME
+    # (feature-resolution) grid, normalized in the (H, W) pixel frame
+    from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc
+    from gpnerf_tpu.ops.projection import (
+        compute_projections,
+        inbound_mask,
+        normalize_pixels,
+    )
+
+    pixel, in_front = compute_projections(xyz, KE)
+    norm_pix = normalize_pixels(pixel, H, W)
+    rgb = bilinear_quad_nhwc(build_quad_table_2d(src_low), norm_pix, Hf, Wf)
+    ft = bilinear_quad_nhwc(build_quad_table_2d(feat), norm_pix, Hf, Wf)
+    ref_feat = jnp.concatenate([rgb, ft], axis=-1).transpose(1, 0, 2)
+    ref_mask = (inbound_mask(pixel, H, W) & in_front).astype(ref_feat.dtype).T
+    comb = jnp.concatenate([src_low, feat], axis=-1)
+    m_feat, m_mask = project_and_gather_quad_merged(
+        xyz, KE, build_quad_table_2d(comb), H, W
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_feat), np.asarray(ref_feat), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(m_mask), np.asarray(ref_mask))

@@ -90,3 +90,21 @@ def test_sample_z_vals_deterministic_and_stratified():
     )
     assert pts.shape == (5, 64, 3)
     np.testing.assert_allclose(pts[:, :, 0], z, rtol=1e-6)
+
+
+def test_compact_matches_sized_nonzero():
+    """_compact (cumsum+scatter) == jnp.nonzero(size=cap) semantics:
+    ascending indices, n-filled tail, overflow count."""
+    from gpnerf_tpu.render.demo import _compact
+
+    rng = np.random.default_rng(0)
+    for n, cap, p in ((64, 16, 0.1), (512, 64, 0.5), (100, 100, 0.9),
+                      (128, 8, 0.9), (33, 40, 0.0)):
+        mask = jnp.asarray(rng.random(n) < p)
+        idx, ok, over = _compact(mask, cap)
+        (ref_idx,) = jnp.nonzero(mask, size=cap, fill_value=n)
+        ref_ok = ref_idx < n
+        total = int(np.asarray(mask).sum())
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ref_ok))
+        assert int(over) == max(total - cap, 0)

@@ -52,11 +52,13 @@ def main():
         cfg.merge_from_list(sys.argv[1:])
     cfg.freeze()
 
-    np.random.seed(0)
-    random.seed(0)
-    ds = get("dataset", cfg.dataset.test.file)(cfg, is_train=False)
+    # full-set frames through the disk cache (same per-index seeding
+    # protocol as before: stride 1, seed == index)
+    from gpnerf_tpu.utils.bench_frames import get_bench_frames
+
+    frames = get_bench_frames(cfg, n_frames=None)
     render = get("render", cfg.render.file)(cfg)
-    b0 = ds[0]
+    b0 = frames[0]
     variables = render.init_variables(jax.random.PRNGKey(0), b0)
     ckpt = os.path.join(root, "artifacts", "bench_ckpt.pth")
     variables = load_eval_model(ckpt, variables, cfg.head.sigma.n_layers)
@@ -66,10 +68,7 @@ def main():
     ev = Evaluator(cfg, "sweep")
     rows = []
     t_start = time.time()
-    for i in range(len(ds)):
-        np.random.seed(i)
-        random.seed(i)
-        b = ds[i]
+    for i, b in enumerate(frames):
         batch = {k: jnp.asarray(v) for k, v in b.items()}
         ret = jax.block_until_ready(fn(variables, batch))
         if is_demo:
