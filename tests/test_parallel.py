@@ -153,7 +153,7 @@ def test_dp_demo_overflow_aggregation():
             return None, None, rd
 
         def _ray_pipeline(self, head_vars, batch, pre, tables, rays_o,
-                          rays_d, near, far, ray_ok, zmin=None):
+                          rays_d, near, far, ray_ok, zmin=None, bins=None):
             # shard-dependent counters: shard i sees near = [4i .. 4i+3]
             stats = {
                 "perray_overflow": near.sum().astype(jnp.int32),
