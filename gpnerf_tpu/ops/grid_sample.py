@@ -208,14 +208,17 @@ def bilinear_quad_nhwc(table, grid, h, w):
     return out
 
 
-def bilinear_quad_nhwc_pv(table, grid, h, w):
+def bilinear_quad_nhwc_pv(table, grid, h, w, scale=None, out_dtype=None):
     """`bilinear_quad_nhwc` with the gather emitted in (P, V) row order
     from the view-concatenated flat table: ONE gather op whose output is
     already (P, V, C) — no (V, P, C) -> (P, V, C) transpose copy (measured
     1.2 ms on the 344k-point demo frame).
 
     table: (V, H+1, W+1, 4C); grid: (V, P, 2) normalized (align_corners).
-    Returns (P, V, C)."""
+    `scale`: per-channel (C,) dequantization factors when the table is
+    int8-quantized (quantize_image_i8) — applied AFTER the bilinear
+    weighted sum (interpolation is linear, so the per-channel factor
+    commutes out). Returns (P, V, C)."""
     V = table.shape[0]
     C4 = table.shape[-1]
     C = C4 // 4
@@ -234,7 +237,10 @@ def bilinear_quad_nhwc_pv(table, grid, h, w):
     idx_pv = (yc * (w + 1) + xc + voff).T  # (P, V)
     flat = table.reshape(V * stride, C4)
     rows = flat[idx_pv]  # (P, V, 4C) — gather directly in (P, V) order
-    dt = table.dtype
+    quantized = table.dtype == jnp.int8
+    dt = out_dtype if out_dtype is not None else (
+        jnp.float32 if quantized else table.dtype
+    )
     wx1 = wx1.T.astype(dt)
     wy1 = wy1.T.astype(dt)
     wx0 = 1.0 - wx1
@@ -247,11 +253,13 @@ def bilinear_quad_nhwc_pv(table, grid, h, w):
         return (wgt * inb.astype(dt))[..., None]
 
     out = (
-        rows[..., 0 * C : 1 * C] * tapw(xiT, yiT, wx0 * wy0)
-        + rows[..., 1 * C : 2 * C] * tapw(xiT + 1, yiT, wx1 * wy0)
-        + rows[..., 2 * C : 3 * C] * tapw(xiT, yiT + 1, wx0 * wy1)
-        + rows[..., 3 * C : 4 * C] * tapw(xiT + 1, yiT + 1, wx1 * wy1)
+        rows[..., 0 * C : 1 * C].astype(dt) * tapw(xiT, yiT, wx0 * wy0)
+        + rows[..., 1 * C : 2 * C].astype(dt) * tapw(xiT + 1, yiT, wx1 * wy0)
+        + rows[..., 2 * C : 3 * C].astype(dt) * tapw(xiT, yiT + 1, wx0 * wy1)
+        + rows[..., 3 * C : 4 * C].astype(dt) * tapw(xiT + 1, yiT + 1, wx1 * wy1)
     )
+    if scale is not None:
+        out = out * scale.astype(dt)[None, None, :]
     return out
 
 
@@ -273,6 +281,24 @@ def build_octet_table_3d(vol):
                     ]
                 )
     return jnp.concatenate(parts, axis=-1)
+
+
+def build_octet_table_3d_u32(q):
+    """`build_octet_table_3d` on a uint8-quantized volume, built and stored
+    as packed uint32 words (4 channels/word): XLA's minor-axis concatenate
+    of 8 strided u8 slices runs at sub-word-access granularity; packing
+    quarters the element count of the pad+concat while keeping the table
+    bytes identical. `trilinear_octet_rows` unpacks gathered rows back to
+    u8 (gather cost is unchanged — same row bytes).
+
+    q: (D, H, W, C) uint8 with C % 4 == 0 -> (D+1, H+1, W+1, 2C) uint32."""
+    import jax
+
+    D, H, W, C = q.shape
+    q32 = jax.lax.bitcast_convert_type(
+        q.reshape(D, H, W, C // 4, 4), jnp.uint32
+    )
+    return build_octet_table_3d(q32)
 
 
 def _axis_resample_matrix(n_out_max, n_in_max, n_out_dyn, n_in_dyn,
@@ -342,26 +368,46 @@ def quantize_volume_u8(vol, eps=1e-8):
     return q, scale
 
 
+def quantize_image_i8(img, eps=1e-8):
+    """Per-channel symmetric int8 quantization of a (possibly signed) image
+    or feature stack (the encoder's out_conv output is unbounded). Returns
+    (q (..., C) int8, scale (C,) float32)."""
+    amax = jnp.maximum(
+        jnp.abs(img.reshape(-1, img.shape[-1])).max(axis=0), eps
+    )
+    scale = (amax / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(img / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def trilinear_octet_rows(table, pos, size, scale=None, out_dtype=None):
     """`trilinear_dense_rows` semantics through an octet table.
 
     table: (D+1, H+1, W+1, 8C); pos: (P, 3) dhw voxel units; size: (3,)
     dynamic valid extent (zeros padding outside). `scale`: per-channel (C,)
     dequantization factors when the table is uint8-quantized (halves the
-    random-gather bytes of the dominant level-1 table). Returns (P, C)."""
+    random-gather bytes of the dominant level-1 table); a uint32 table is
+    the packed-word form from build_octet_table_3d_u32 and is unpacked back
+    to u8 bytes after the gather. Returns (P, C)."""
     import itertools as _it
 
-    Dp, Hp, Wp, C8 = table.shape
+    import jax
+
+    packed_u32 = table.dtype == jnp.uint32
+    Dp, Hp, Wp, Cw = table.shape
+    C8 = Cw * 4 if packed_u32 else Cw
     C = C8 // 8
     wdt = out_dtype if out_dtype is not None else (
-        table.dtype if scale is None else jnp.float32
+        jnp.float32 if (scale is not None or packed_u32) else table.dtype
     )
     base = jnp.floor(pos).astype(jnp.int32)
     w1 = (pos - jnp.floor(pos)).astype(wdt)
     w0 = 1.0 - w1
     bc = jnp.clip(base, -1, jnp.asarray([Dp - 2, Hp - 2, Wp - 2])) + 1
-    flat = table.reshape(-1, C8)
+    flat = table.reshape(-1, Cw)
     rows = flat[(bc[:, 0] * Hp + bc[:, 1]) * Wp + bc[:, 2]]  # (P, 8C)
+    if packed_u32:
+        rows = jax.lax.bitcast_convert_type(rows, jnp.uint8).reshape(-1, C8)
     out = 0.0
     for k, sel in enumerate(_it.product((0, 1), repeat=3)):
         corner = base + jnp.asarray(sel, jnp.int32)

@@ -101,7 +101,8 @@ def project_and_gather_quad(xyz, KE, src_quad, feat_quad, h, w, *, neg_ray=False
 
 
 def project_and_gather_quad_merged(xyz, KE, srcfeat_quad, h, w, *,
-                                   neg_ray=False):
+                                   neg_ray=False, scale=None,
+                                   out_dtype=None):
     """`project_and_gather_quad` through ONE combined [rgb|features] quad
     table: a single row-gather per (point, view) instead of two. The table
     may live at any resolution (features upsampled to source resolution, or
@@ -109,7 +110,8 @@ def project_and_gather_quad_merged(xyz, KE, srcfeat_quad, h, w, *,
     table's own grid; h/w only define the pixel frame of K for the
     projection/in-bounds math.
 
-    srcfeat_quad: (V, Ht+1, Wt+1, 4*(3+C)).
+    srcfeat_quad: (V, Ht+1, Wt+1, 4*(3+C)); `scale`: per-channel
+    dequantization factors when the table is int8-quantized.
     Returns rgb_feat (P, V, 3 + C), mask (P, V)."""
     from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc_pv
 
@@ -118,7 +120,9 @@ def project_and_gather_quad_merged(xyz, KE, srcfeat_quad, h, w, *,
     ht = srcfeat_quad.shape[1] - 1
     wt = srcfeat_quad.shape[2] - 1
     # gather emitted directly in (P, V) row order (no transpose copy)
-    rgb_feat = bilinear_quad_nhwc_pv(srcfeat_quad, norm_pix, ht, wt)
+    rgb_feat = bilinear_quad_nhwc_pv(
+        srcfeat_quad, norm_pix, ht, wt, scale=scale, out_dtype=out_dtype
+    )
     mask = (inbound_mask(pixel, h, w) & in_front).astype(rgb_feat.dtype)
     return rgb_feat, mask.transpose(1, 0)
 

@@ -85,7 +85,8 @@ class Renderer(BaseRenderer):
                  merge_src_feat=False, merge_lowres_src=False,
                  frame_mode=False, dense_slots=False,
                  window_margin_voxels=6.0, splat_bins=False,
-                 bin_margin_voxels=2.0, **kwargs):
+                 bin_margin_voxels=2.0, quantize_proj=False,
+                 pack_octet_u32=False, **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
@@ -149,6 +150,15 @@ class Renderer(BaseRenderer):
         # voxel's bin coverage in level-0 voxel units.
         self.splat_bins = bool(splat_bins)
         self.bin_margin_voxels = float(bin_margin_voxels)
+        # int8-quantize the merged [rgb|feat] projection table (per-channel
+        # symmetric scales, dequant after the bilinear sum): halves the
+        # bytes of the largest per-point gather and of its downstream
+        # (P, V, C) relayout
+        self.quantize_proj = bool(quantize_proj)
+        # build/store the u8 octet tables as packed uint32 words: quarters
+        # the element count of the pad+concat table build (same bytes, same
+        # gather rows; rows unpack after the gather)
+        self.pack_octet_u32 = bool(pack_octet_u32)
         self._demo_jit = None
         self._encoder_jit = None
         self._last_etime = 0.0
@@ -487,7 +497,13 @@ class Renderer(BaseRenderer):
             from gpnerf_tpu.ops.projection import project_and_gather_quad_merged
 
             rgb_feat, view_mask = project_and_gather_quad_merged(
-                pts_c, pre["KE"], src_quad, Hsrc, Wsrc, neg_ray=neg_ray
+                pts_c, pre["KE"], src_quad, Hsrc, Wsrc, neg_ray=neg_ray,
+                scale=tables.get("proj_scale"),
+                out_dtype=(
+                    self.compute_dtype
+                    if tables.get("proj_scale") is not None
+                    else None
+                ),
             )
         else:
             rgb_feat, view_mask = project_and_gather_quad(
@@ -726,10 +742,17 @@ class Renderer(BaseRenderer):
             dense_list = vols
         octet_scales = None
         if self.quantize_volume:
+            from gpnerf_tpu.ops.grid_sample import build_octet_table_3d_u32
+
+            build = (
+                build_octet_table_3d_u32
+                if self.pack_octet_u32
+                else build_octet_table_3d
+            )
             octet_vols, octet_scales = [], []
             for vol in dense_list:
                 q, sc = quantize_volume_u8(vol)
-                octet_vols.append(build_octet_table_3d(q))
+                octet_vols.append(build(q))
                 octet_scales.append(sc)
         else:
             octet_vols = [build_octet_table_3d(v) for v in dense_list]
@@ -750,6 +773,7 @@ class Renderer(BaseRenderer):
                 comb = comb.astype(self.compute_dtype)
             src_quad = build_quad_table_2d(comb)  # (V, H+1, W+1, 140)
             feat_quad = None
+            proj_scale = None
         elif self.merge_lowres_src:
             # opposite merge: source rgb DOWNSAMPLED (align-corners
             # bilinear) to the encoder feature grid and packed with the
@@ -765,13 +789,21 @@ class Renderer(BaseRenderer):
             comb = jnp.concatenate(
                 [src_low, featmaps.astype(jnp.float32)], axis=-1
             )
-            if self.compute_dtype is not None:
-                comb = comb.astype(self.compute_dtype)
-            src_quad = build_quad_table_2d(comb)  # (V, Hf+1, Wf+1, 140)
+            if self.quantize_proj:
+                from gpnerf_tpu.ops.grid_sample import quantize_image_i8
+
+                qc, proj_scale = quantize_image_i8(comb)
+                src_quad = build_quad_table_2d(qc)  # int8 rows, half bytes
+            else:
+                if self.compute_dtype is not None:
+                    comb = comb.astype(self.compute_dtype)
+                src_quad = build_quad_table_2d(comb)  # (V, Hf+1, Wf+1, 140)
+                proj_scale = None
             feat_quad = None
         else:
             src_quad = build_quad_table_2d(src_unnorm)
             feat_quad = build_quad_table_2d(featmaps)
+            proj_scale = None
         if stop_stage == "volume":
             return {
                 "dbg": sum(v.sum() for v in octet_vols)
@@ -886,6 +918,7 @@ class Renderer(BaseRenderer):
             "octet_scales": octet_scales,
             "src_quad": src_quad,
             "feat_quad": feat_quad,
+            "proj_scale": proj_scale,
         }
         return pre, tables, {
             "rays_o": rays_o,
@@ -1189,6 +1222,8 @@ def build_render(cfg):
         window_margin_voxels=cfg.tpu.window_margin_voxels,
         splat_bins=cfg.tpu.splat_bins,
         bin_margin_voxels=cfg.tpu.bin_margin_voxels,
+        quantize_proj=cfg.tpu.quantize_proj,
+        pack_octet_u32=cfg.tpu.pack_octet_u32,
     )
 
 

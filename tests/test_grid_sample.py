@@ -173,3 +173,62 @@ def test_merged_lowres_projection_matches_separate_gathers():
         np.asarray(m_feat), np.asarray(ref_feat), rtol=1e-5, atol=1e-6
     )
     np.testing.assert_array_equal(np.asarray(m_mask), np.asarray(ref_mask))
+
+
+def test_octet_u32_pack_bit_exact():
+    """build_octet_table_3d_u32 (packed-word build) gathers bit-identically
+    to the u8 octet table: same rows, same dequantized output."""
+    from gpnerf_tpu.ops.grid_sample import (
+        build_octet_table_3d,
+        build_octet_table_3d_u32,
+        quantize_volume_u8,
+        trilinear_octet_rows,
+    )
+
+    rng = np.random.default_rng(21)
+    D, H, W, C = 5, 6, 7, 8
+    vol = jnp.asarray(
+        np.abs(rng.standard_normal((D, H, W, C))).astype(np.float32)
+    )
+    q, sc = quantize_volume_u8(vol)
+    pos = jnp.asarray(
+        rng.uniform(-1.5, max(D, H, W) + 0.5, size=(400, 3)).astype(np.float32)
+    )
+    dyn = jnp.asarray([D, H - 1, W], jnp.int32)
+    ref = trilinear_octet_rows(build_octet_table_3d(q), pos, dyn, scale=sc)
+    out = trilinear_octet_rows(build_octet_table_3d_u32(q), pos, dyn, scale=sc)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_quantized_proj_table_close_and_linear():
+    """int8-quantized merged projection gather: dequant-after-lerp equals
+    lerp-of-dequant (linearity, exact in f32 up to rounding), and the
+    quantized result tracks the unquantized gather within the per-channel
+    quantization step."""
+    from gpnerf_tpu.ops.grid_sample import (
+        bilinear_quad_nhwc_pv,
+        build_quad_table_2d,
+        quantize_image_i8,
+    )
+
+    rng = np.random.default_rng(22)
+    V, H, W, C = 3, 12, 11, 6
+    img = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    q, sc = quantize_image_i8(img)
+    tab_q = build_quad_table_2d(q)
+    grid = jnp.asarray(
+        rng.uniform(-1.3, 1.3, size=(V, 200, 2)).astype(np.float32)
+    )
+    out_q = bilinear_quad_nhwc_pv(tab_q, grid, H, W, scale=sc)
+    # linearity: dequantizing the table first gives the same interpolant
+    deq = q.astype(np.float32) * np.asarray(sc)
+    ref_lin = bilinear_quad_nhwc_pv(
+        build_quad_table_2d(jnp.asarray(deq)), grid, H, W
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_q), np.asarray(ref_lin), rtol=1e-5, atol=1e-6
+    )
+    # accuracy: within one quantization step of the float gather
+    ref = bilinear_quad_nhwc_pv(build_quad_table_2d(img), grid, H, W)
+    err = np.abs(np.asarray(out_q) - np.asarray(ref))
+    assert (err < np.asarray(sc)[None, None, :] + 1e-6).all()
