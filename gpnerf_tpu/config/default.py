@@ -208,13 +208,16 @@ cfg.tpu.quantize_volume = True
 # build/store the quantized octet tables as packed uint32 words: XLA's
 # minor-axis concat of 8 strided u8 slices runs at sub-word granularity;
 # packing 4 channels/word quarters the build's element count (identical
-# table bytes — rows unpack after the gather, bit-exact)
+# table bytes — rows unpack after the gather, bit-exact). MEASURED SLOWER
+# on v5e (14.4 vs 17.2 fps bench): the post-gather unpack shifts cost more
+# than the build saves; kept as an option.
 cfg.tpu.pack_octet_u32 = False
 # int8-quantize the merged [rgb|feat] projection table (per-channel
 # symmetric scales, dequantized after the bilinear sum): halves the bytes
 # of the largest per-point gather and its (P, V, C) relayout. Only applies
-# with merge_lowres_src/merge_src_feat
-cfg.tpu.quantize_proj = False
+# with merge_lowres_src/merge_src_feat. Measured 17.2 -> 18.1 fps on v5e
+# with bench PSNR bit-identical (22.573 vs 22.572); default on.
+cfg.tpu.quantize_proj = True
 # eval-only dense-convolution form of the sparse conv stack (demo
 # renderer): SubM/stride convs run as masked dense XLA conv3d over the
 # level volumes from level 1 down — parity-tested against the rows path
