@@ -167,19 +167,19 @@ cfg.tpu.max_out_sh = [96, 384, 384]
 # drops farthest samples; global compaction drops the deepest slot) and is
 # reported per frame in the render output's `overflows`.
 cfg.tpu.ray_cap = 32768
-cfg.tpu.sigma_cap = 294912
+cfg.tpu.sigma_cap = 319488
 cfg.tpu.rgb_cap = 196608
 # per-ray cap on occupancy-surviving samples (of the reference's 64-sample
 # grid): the progressive renderer keeps each ray's nearest K survivors in a
 # rectangular (ray, K) frame before the global sigma_cap compaction.
 # Overflow drops the farthest (occluded behind the front surface) samples
 # of that ray first and is reported per frame. Full-60-frame sweeps on the
-# trained model at 512^2 (round 3, W=32 window): K=12 -> PSNR 22.670 with
-# ZERO sigma-cap overflow across the set (K*ray demand fits sigma_cap);
-# K=14 + sigma_cap 294912 -> 22.691 with ZERO sigma drops (the shipped
-# combination); K=12 -> 22.670 drop-free at cap 262144; K=16/24 (round 2,
-# no window) -> 22.703 but with worst-frame sigma-cap drops.
-cfg.tpu.samples_per_ray = 14
+# trained model at 512^2 (round 3, splat-bin cull): K=13 -> PSNR 22.706 /
+# SSIM 0.92414 with ZERO sigma drops (sigma_cap 319488 = ray_cap*13 covers
+# worst-case demand; the shipped combination, -0.125 dB vs the unculled
+# BaseRender anchor 22.831); K=12 -> 22.668; K=14 (W=32 tap, no splat
+# bins) -> 22.691; K=16/24 (round 2) -> 22.703 with worst-frame drops.
+cfg.tpu.samples_per_ray = 13
 # cull against level-1-only occupancy (tight body shell) instead of the
 # reference's sum-over-levels field whose coarse levels blanket ~8 cm around
 # the body. Full-60-frame sweep on the trained synthetic model at 512^2
@@ -250,8 +250,11 @@ cfg.tpu.window_margin_voxels = 6.0
 # ONE (n_samples,)-byte-row gather per ray. The cull keeps sample s of
 # pixel p iff an occupied voxel splat-covers (p +- 1 px, bin s +- margin) —
 # the same splat+dilation geometry that generates the rays. tight_cull
-# non-neg_ray only; falls back to the tap otherwise.
-cfg.tpu.splat_bins = False
+# non-neg_ray only; falls back to the tap otherwise. The separable form
+# (one scatter + shift-OR span/quad dilation) measured 18.1 -> 20.5-21.1
+# fps on the v5e bench (with K 14 -> 13) at full-set PSNR 22.706; default
+# on.
+cfg.tpu.splat_bins = True
 # half-extent of a voxel's depth-bin coverage, level-0 voxel units
 cfg.tpu.bin_margin_voxels = 2.0
 # upsample encoder features to source resolution (align-corners separable

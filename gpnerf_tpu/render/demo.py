@@ -220,12 +220,14 @@ class Renderer(BaseRenderer):
         pixmask gets — splat granularity can exceed 1 px at close range)."""
         S = self.n_samples
         tp = batch["target_pose"]
-        N = pts_w.shape[0]
         depth = pts_w @ tp[2, :3] + tp[2, 3]  # camera z == ray t-parameter
-        xs = jnp.stack([minx, minx, maxx, maxx], 0).reshape(-1)  # (4N,)
-        ys = jnp.stack([miny, maxy, miny, maxy], 0).reshape(-1)
+        # SEPARABLE form: ONE scatter at (floor pixel, span-start bin), then
+        # shift-OR dilation fills the depth span and the pixel quad (the old
+        # 4-pixel x 6-step j-loop paid ~0.4 ms per scatter pass on the
+        # 16.7 MB u8 buffer — sub-word RMW — for 24 passes' worth of
+        # indices; the dilation passes below are dense vector ORs).
         xy1 = jnp.stack(
-            [xs, ys, jnp.ones_like(xs)], axis=-1
+            [minx, miny, jnp.ones_like(minx)], axis=-1
         ).astype(jnp.float32)
         ro, rd = pixel_rays(
             xy1, batch["target_K_inv"], tp[:, :3], tp[:, 3:]
@@ -233,27 +235,33 @@ class Renderer(BaseRenderer):
         near, far, mask_box = ray_aabb_near_far(ro, rd, can_bounds)
         dz = jnp.maximum((far - near) / (S - 1), 1e-9)
         rad = self.bin_margin_voxels * jnp.float32(self.voxel_size[0])
-        dep4 = jnp.tile(depth, 4)
-        b0 = jnp.floor((dep4 - rad - near) / dz).astype(jnp.int32)
-        b1 = jnp.ceil((dep4 + rad - near) / dz).astype(jnp.int32)
-        ok4 = jnp.tile(row_ok, 4) & mask_box
-        pix4 = ys * Wimg + xs
-        # u8 bin image (i32 measured SLOWER here: 59.7 vs 58.2 ms/frame —
-        # 4x the buffer outweighs word-aligned scatter writes)
+        b0 = jnp.floor((depth - rad - near) / dz).astype(jnp.int32)
+        ok = row_ok & mask_box & (b0 < S)
+        pix = miny * Wimg + minx
+        # u8 bin image (i32 measured SLOWER here: 4x the buffer outweighs
+        # word-aligned scatter writes)
         binimg = jnp.zeros((Himg * Wimg * S,), jnp.uint8)
         oob = Himg * Wimg * S
-        for j in range(6):  # static span: covers 2*rad + rounding at any dz
-            bj = b0 + j
-            okj = ok4 & (bj <= b1) & (bj >= 0) & (bj < S)
-            tgt = jnp.where(okj, pix4 * S + jnp.clip(bj, 0, S - 1), oob)
-            binimg = binimg.at[tgt].set(1, mode="drop")
+        tgt = jnp.where(ok, pix * S + jnp.clip(b0, 0, S - 1), oob)
+        binimg = binimg.at[tgt].set(1, mode="drop")
         bi = binimg.reshape(Himg, Wimg, S)
-        bi = (
-            bi
-            | jnp.roll(bi, 1, 0) | jnp.roll(bi, -1, 0)
-            | jnp.roll(bi, 1, 1) | jnp.roll(bi, -1, 1)
-        )
-        return bi.reshape(Himg * Wimg, S)
+        # depth fill: marks at b0+j, j=1..5 — the same static span the old
+        # j-loop covered (2*rad + rounding at any dz); one fused OR pass
+        acc = bi
+        for j in (1, 2, 3, 4, 5):
+            acc = acc | jnp.pad(bi, ((0, 0), (0, 0), (j, 0)))[:, :, :S]
+        # pixel plane: [-1, +2] in x and y covers the splat quad plus the
+        # one-pixel dilation (superset of the old quad + 4-neighborhood;
+        # looser is conservative — the cull keeps a few more samples).
+        # Neighbors inherit the center pixel's bin indices; per-pixel
+        # near/far differ by < 1 bin and rad's +-2-bin margin absorbs it.
+        ax = acc
+        for j in (-1, 1, 2):
+            ax = ax | jnp.roll(acc, j, axis=1)
+        ay = ax
+        for j in (-1, 1, 2):
+            ay = ay | jnp.roll(ax, j, axis=0)
+        return ay.reshape(Himg * Wimg, S)
 
     def _ray_pipeline(self, head_vars, batch, pre, tables, rays_o, rays_d,
                       near, far, ray_ok, zmin=None, bins=None,
