@@ -14,9 +14,13 @@ This module re-designs that stack for TPU/XLA with static shapes:
     empty), built by scatter. At 5 mm resolution and the default
     max_out_sh this costs ~60 MB HBM, far cheaper than real hashing and
     O(1)-gatherable.
-  * A conv is: gather the 27 neighbor rows -> one (N, 27*Cin) @
-    (27*Cin, Cout) matmul on the MXU -> rows stay in place (submanifold) or
-    scatter to a new active set (strided).
+  * A conv is: one OFFSET-MAJOR (27, N) zero-row-padded gather of the
+    neighbor rows -> a double-contraction einsum ('okc,ocd->kd') on the MXU
+    -> rows stay in place (submanifold) or land on a new active set
+    (strided). Offset-major layout measured 2x faster than the site-major
+    (N, 27, Cin) gather + reshape + dot on v5e (XLA assigns the site-major
+    reshape a relayout copy); the appended zero row replaces the idx==-1
+    `where` pass.
   * Dense feature volumes are never materialized: trilinear queries gather
     the 8 corner rows through the index volume and lerp, with inactive
     corners contributing zero — numerically identical to the reference's
@@ -139,23 +143,34 @@ def _gather_rows(feats, idx):
     return jnp.where((idx >= 0)[..., None], rows, jnp.zeros_like(rows))
 
 
+def _conv_gather_mm(feats, idx, valid, weight, compute_dtype):
+    """Shared conv body: offset-major zero-row-padded neighbor gather +
+    double-contraction einsum. feats (N, Cin), idx (CAP, 27) row ids (-1
+    absent), weight (27, Cin, Cout) -> (CAP, Cout) f32, zeroed off-valid."""
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)  # cast BEFORE gather: half traffic
+        weight = weight.astype(compute_dtype)
+    n = feats.shape[0]
+    featsz = jnp.concatenate(
+        [feats, jnp.zeros((1, feats.shape[1]), feats.dtype)], axis=0
+    )
+    idx_t = jnp.where(idx >= 0, idx, n).T  # (27, CAP); -1 -> the zero row
+    g = featsz[idx_t]  # (27, CAP, Cin)
+    out = jnp.einsum(
+        "okc,ocd->kd", g, weight, preferred_element_type=jnp.float32
+    )
+    return jnp.where(valid[:, None], out, 0.0)
+
+
 def subm_conv3x3(feats, grid: SparseGrid, weight, *, compute_dtype=None):
     """Submanifold 3x3x3 conv: output only at existing active sites
     (spconv.SubMConv3d semantics, SparseConvNet.py:33-49).
 
     feats: (CAP, Cin). weight: (27, Cin, Cout). Returns (CAP, Cout).
     """
-    cap = feats.shape[0]
-    if compute_dtype is not None:
-        feats = feats.astype(compute_dtype)  # cast BEFORE gather: half traffic
-        weight = weight.astype(compute_dtype)
     nbr_coords = grid.coords[:, None, :] + jnp.asarray(_OFFSETS_3)  # (CAP,27,3)
     nbr_idx = _lookup(grid.index_vol, nbr_coords, grid.shape)  # (CAP, 27)
-    gathered = _gather_rows(feats, nbr_idx)  # (CAP, 27, Cin)
-    x = gathered.reshape(cap, -1)
-    w = weight.reshape(-1, weight.shape[-1])
-    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    return jnp.where(grid.valid[:, None], out, 0.0)
+    return _conv_gather_mm(feats, nbr_idx, grid.valid, weight, compute_dtype)
 
 
 def stride_active_set(grid: SparseGrid, out_cap: int):
@@ -225,50 +240,26 @@ def stride_conv3x3(feats, in_grid: SparseGrid, out_grid: SparseGrid, weight,
 
     feats: (CAP_in, Cin). weight: (27, Cin, Cout). Returns (CAP_out, Cout).
     """
-    cap_out = out_grid.coords.shape[0]
-    if compute_dtype is not None:
-        feats = feats.astype(compute_dtype)
-        weight = weight.astype(compute_dtype)
     centers = out_grid.coords * 2  # input-level coords
     nbr_coords = centers[:, None, :] + jnp.asarray(_OFFSETS_3)
     nbr_idx = _lookup(in_grid.index_vol, nbr_coords, in_grid.shape)
-    gathered = _gather_rows(feats, nbr_idx)
-    x = gathered.reshape(cap_out, -1)
-    w = weight.reshape(-1, weight.shape[-1])
-    out = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    return jnp.where(out_grid.valid[:, None], out, 0.0)
+    return _conv_gather_mm(
+        feats, nbr_idx, out_grid.valid, weight, compute_dtype
+    )
 
 
 def subm_conv_tbl(feats, level: SparseLevel, weight, *, compute_dtype=None):
     """Submanifold 3x3x3 conv through the precomputed neighbor table
     (same semantics as `subm_conv3x3`; one gather + one MXU matmul)."""
-    cap = feats.shape[0]
-    if compute_dtype is not None:
-        feats = feats.astype(compute_dtype)
-        weight = weight.astype(compute_dtype)
-    gathered = _gather_rows(feats, level.nbr)  # (CAP, 27, Cin)
-    out = jnp.dot(
-        gathered.reshape(cap, -1),
-        weight.reshape(-1, weight.shape[-1]),
-        preferred_element_type=jnp.float32,
-    )
-    return jnp.where(level.valid[:, None], out, 0.0)
+    return _conv_gather_mm(feats, level.nbr, level.valid, weight, compute_dtype)
 
 
 def stride_conv_tbl(feats_in, level: SparseLevel, weight, *, compute_dtype=None):
     """Strided sparse conv k=3 s=2 p=1 through `level.down` (same semantics
     as `stride_conv3x3`)."""
-    cap_out = level.coords.shape[0]
-    if compute_dtype is not None:
-        feats_in = feats_in.astype(compute_dtype)
-        weight = weight.astype(compute_dtype)
-    gathered = _gather_rows(feats_in, level.down)
-    out = jnp.dot(
-        gathered.reshape(cap_out, -1),
-        weight.reshape(-1, weight.shape[-1]),
-        preferred_element_type=jnp.float32,
+    return _conv_gather_mm(
+        feats_in, level.down, level.valid, weight, compute_dtype
     )
-    return jnp.where(level.valid[:, None], out, 0.0)
 
 
 def derive_level_tables(grids) -> list:
