@@ -158,9 +158,11 @@ def main():
         )
         from gpnerf_tpu.train.evaluator import Evaluator
 
+        from gpnerf_tpu.render.demo import pred_img_hwc
+
         ev = Evaluator(cfg_m, "bench")
         for r, b in zip(rets, host_batches):
-            ev.evaluate({"pred_img": np.asarray(r["pred_img"])}, b)
+            ev.evaluate({"pred_img": pred_img_hwc(r)}, b)
         return {
             "fps": n_frames / dt,
             "ms_per_frame": dt / n_frames * 1000.0,

@@ -218,19 +218,21 @@ def make_dp_demo_render(renderer, mesh, axis: str = "dp"):
         ray_ok = ray_ok.reshape(cap)
         Himg, Wimg = batch["tar_img"].shape[0:2]
         oob = Himg * Wimg
-        pred_flat = (
-            jnp.zeros((oob, 3))
-            .at[jnp.where(ray_ok, pix_idx, oob)]
-            .set(rgb, mode="drop")
-        )
+        tgt_pix = jnp.where(ray_ok, pix_idx, oob)
+        pred_chw = jnp.stack(
+            [
+                jnp.zeros((oob,)).at[tgt_pix].set(rgb[:, c], mode="drop")
+                for c in range(3)
+            ]
+        ).reshape(3, Himg, Wimg)
         mask_flat = (
             jnp.zeros((oob,), bool)
-            .at[jnp.where(ray_ok, pix_idx, oob)]
+            .at[tgt_pix]
             .set(True, mode="drop")
         )
         return {
             "rgb_map": rgb,
-            "pred_img": pred_flat.reshape(Himg, Wimg, 3),
+            "pred_chw": pred_chw,
             "mask_at_box": mask_flat,
             "ray_ok": ray_ok,
             "overflows": overflows[0],

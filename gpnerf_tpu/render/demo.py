@@ -51,6 +51,21 @@ from gpnerf_tpu.registry import register
 from gpnerf_tpu.render.base import Renderer as BaseRenderer
 
 
+def pred_img_hwc(ret):
+    """Host-side (H, W, 3) predicted image from a demo render dict. The
+    device program scatters per-channel (H, W) planes (`pred_chw`) — a
+    channel-last (H*W, 3) device scatter pads the 3-lane minor axis to 128
+    on TPU — and channel-last assembly happens here with a numpy
+    transpose."""
+    import numpy as np
+
+    if "pred_img" in ret:
+        return np.asarray(ret["pred_img"])
+    return np.ascontiguousarray(
+        np.moveaxis(np.asarray(ret["pred_chw"]), 0, -1)
+    )
+
+
 def _compact(mask_flat, cap):
     """Static-size index compaction. Returns (idx (cap,), ok (cap,),
     overflow).
@@ -962,19 +977,26 @@ class Renderer(BaseRenderer):
         perray_overflow = stats["perray_overflow"]
         sig_overflow = stats["sig_overflow"]
         rgb_overflow = jnp.int32(0)  # color head is alpha-masked, no cap
-        pred_flat = (
-            jnp.zeros((Himg * Wimg, 3))
-            .at[jnp.where(ray_ok, pix_idx, oob)]
-            .set(rgb_map, mode="drop")
-        )
+        # per-channel plane scatters: a (H*W, 3) scatter pads the 3-lane
+        # minor axis to 128 on TPU (42x padded write, measured ~1.7 ms);
+        # three (H*W,) scatters + a host-side transpose are ~free
+        tgt_pix = jnp.where(ray_ok, pix_idx, oob)
+        pred_chw = jnp.stack(
+            [
+                jnp.zeros((Himg * Wimg,)).at[tgt_pix].set(
+                    rgb_map[:, c], mode="drop"
+                )
+                for c in range(3)
+            ]
+        ).reshape(3, Himg, Wimg)
         maskimg_flat = (
             jnp.zeros((Himg * Wimg,), bool)
-            .at[jnp.where(ray_ok, pix_idx, oob)]
+            .at[tgt_pix]
             .set(True, mode="drop")
         )
         return {
             "rgb_map": rgb_map,
-            "pred_img": pred_flat.reshape(Himg, Wimg, 3),
+            "pred_chw": pred_chw,
             "mask_at_box": maskimg_flat,
             "ray_pix_idx": pix_idx,
             "ray_ok": ray_ok,

@@ -73,12 +73,14 @@ class Evaluator:
         valid prefix (ray_valid) holds the mask_at_box pixels in scan order
         (if_nerf.py:49-66 uses rgb_map / pred_img the same way)."""
         n = int(np.asarray(batch["n_rays"]))
-        if "pred_img" in output:
+        if "pred_img" in output or "pred_chw" in output:
+            from gpnerf_tpu.render.demo import pred_img_hwc
+
             H, W = int(self.cfg.dataset.H * self.cfg.dataset.ratio), int(
                 self.cfg.dataset.W * self.cfg.dataset.ratio
             )
             mask = np.asarray(batch["mask_at_box"]).reshape(H, W)
-            rgb_pred = np.asarray(output["pred_img"])[mask][:n]
+            rgb_pred = pred_img_hwc(output)[mask][:n]
             rgb_gt = np.asarray(batch["rgb"])[:n]
         else:
             rgb_pred = np.asarray(output["rgb_map"])[:n]

@@ -392,12 +392,14 @@ class Trainer:
 
         mask_at_box = np.asarray(batch["mask_at_box"]).reshape(H, W)
         n = int(np.asarray(batch["n_rays"]))
-        if "pred_img" not in pred:
+        if "pred_img" in pred or "pred_chw" in pred:
+            from gpnerf_tpu.render.demo import pred_img_hwc
+
+            pred_img = pred_img_hwc(pred)
+        else:
             pred_img = scatter_rays_to_image(
                 np.asarray(pred["rgb_map"])[:n, :3], mask_at_box, H, W
             )
-        else:
-            pred_img = np.asarray(pred["pred_img"])
         gt_img = scatter_rays_to_image(
             np.asarray(batch["rgb"])[:n, :3], mask_at_box, H, W
         )

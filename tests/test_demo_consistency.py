@@ -89,7 +89,9 @@ def test_demo_matches_base_on_covered_pixels():
         base_img[idx[:n]] = np.asarray(bret["rgb_map"])[:n]
         base_img = base_img.reshape(H, W, 3)
 
-        demo_img = np.asarray(dret["pred_img"])
+        from gpnerf_tpu.render.demo import pred_img_hwc
+
+        demo_img = pred_img_hwc(dret)
         covered = np.asarray(dret["mask_at_box"]).reshape(H, W) & np.asarray(
             b["mask_at_box"]
         ).reshape(H, W)

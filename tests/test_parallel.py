@@ -219,5 +219,7 @@ def test_dp_demo_render_matches_single_chip():
     # ray partitioning changes which rays share a sigma compaction, but the
     # kept sample set per ray is identical at zero overflow -> pixel-level
     # agreement up to f32 reassociation
-    d = np.abs(np.asarray(single["pred_img"]) - np.asarray(multi["pred_img"]))
+    from gpnerf_tpu.render.demo import pred_img_hwc
+
+    d = np.abs(pred_img_hwc(single) - pred_img_hwc(multi))
     assert d.max() < 1e-4, float(d.max())

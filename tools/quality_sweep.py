@@ -72,7 +72,9 @@ def main():
         batch = {k: jnp.asarray(v) for k, v in b.items()}
         ret = jax.block_until_ready(fn(variables, batch))
         if is_demo:
-            ev.evaluate({"pred_img": np.asarray(ret["pred_img"])}, b)
+            from gpnerf_tpu.render.demo import pred_img_hwc
+
+            ev.evaluate({"pred_img": pred_img_hwc(ret)}, b)
         else:
             ev.evaluate({"rgb_map": np.asarray(ret["rgb_map"])}, b)
         rows.append(
