@@ -237,6 +237,9 @@ def bilinear_quad_nhwc_pv(table, grid, h, w, scale=None, out_dtype=None):
     idx_pv = (yc * (w + 1) + xc + voff).T  # (P, V)
     flat = table.reshape(V * stride, C4)
     rows = flat[idx_pv]  # (P, V, 4C) — gather directly in (P, V) order
+    # (a flat (P*V, 4C) gather + flat weighted sum measured 7 ms/frame
+    # SLOWER: the relayout the 3D form pays up front reappears bigger
+    # downstream of the flat result)
     quantized = table.dtype == jnp.int8
     dt = out_dtype if out_dtype is not None else (
         jnp.float32 if quantized else table.dtype

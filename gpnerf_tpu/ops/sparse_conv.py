@@ -380,6 +380,27 @@ def scatter_channel_sum(feats, grid: SparseGrid):
     return vol.at[safe[:, 0], safe[:, 1], safe[:, 2]].set(vals, mode="drop")
 
 
+def scatter_dense_rows(feats, grid: SparseGrid):
+    """`scatter_dense` without the 4D reshape: returns the flat
+    (D*H*W, C) row matrix. The row scatter's natural channel-major layout
+    and the 4D table-build layout differ — materializing the volume 4D in
+    f32 paid a 110 MB relayout copy per frame on the level-1 volume;
+    callers that quantize should do so on these flat rows and reshape the
+    (4x smaller) uint8 result instead."""
+    C = feats.shape[-1]
+    D, H, W = grid.shape
+    flat_idx = (grid.coords[:, 0] * H + grid.coords[:, 1]) * W + grid.coords[
+        :, 2
+    ]
+    safe = jnp.where(grid.valid, flat_idx, D * H * W)
+    vals = jnp.where(grid.valid[:, None], feats, 0.0)
+    return (
+        jnp.zeros((D * H * W, C), dtype=feats.dtype)
+        .at[safe]
+        .set(vals, mode="drop")
+    )
+
+
 def scatter_dense(feats, grid: SparseGrid):
     """Materialize the dense feature volume (D, H, W, C) — only used by
     tests and the mesh path; the render hot path gathers sparsely."""

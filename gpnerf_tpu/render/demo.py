@@ -713,21 +713,38 @@ class Renderer(BaseRenderer):
                 head_vars["batch_stats"]["sigmahead"]["xyzc_net"],
                 code, grids, compute_dtype=self.compute_dtype,
             )
+            level_feats = None
+            flat1 = None
+            masks3d = occupancy_volume_dense(vols)
         else:
             level_feats = apply(
                 lambda m, *a: m.volume(*a, train=False),
                 pre["smpl_feat"], pre["vertex_rows"], grids,
             )
-            vols = [
-                scatter_dense(level_feats[i], grids[i + 1]) for i in range(4)
+            # the LEVEL-1 volume stays flat (D*H*W, C): its 4D f32 form paid
+            # a 110 MB relayout copy between the row scatter's channel-major
+            # layout and the octet build's layout (measured 1.6 ms/frame);
+            # the quantized-u8 reshape below is 4x smaller. The occupancy
+            # field comes from the per-level channel-sum scatters (identical
+            # math to channel-summing the dense volumes).
+            from gpnerf_tpu.ops.sparse_conv import scatter_dense_rows
+
+            flat1 = scatter_dense_rows(level_feats[0], grids[1])
+            vols = [None] + [
+                scatter_dense(level_feats[i], grids[i + 1]) for i in (1, 2, 3)
             ]
+            masks3d = occupancy_volume(level_feats, grids)
         if stop_stage == "fuse":
-            return {"dbg": sum(v.sum().astype(jnp.float32) for v in vols)}
+            return {
+                "dbg": sum(
+                    v.sum().astype(jnp.float32) for v in vols if v is not None
+                )
+                + (0.0 if flat1 is None else flat1.sum())
+            }
         # occupancy stays float32: masks3d feeds > occupancy_threshold
         # comparisons (voxel election, zmin splat) where bf16 rounding can
         # flip borderline voxels; vols are cast to compute_dtype only after
         # the occupancy field is built
-        masks3d = occupancy_volume_dense(vols)  # static level-1 res
         if stop_stage == "occv":
             return {"dbg": masks3d.sum()}
         if self.compute_dtype is not None:
@@ -735,7 +752,10 @@ class Renderer(BaseRenderer):
             # gathered rows halve their HBM traffic
             featmaps = featmaps.astype(self.compute_dtype)
             src_unnorm = src_unnorm.astype(self.compute_dtype)
-            vols = [v.astype(self.compute_dtype) for v in vols]
+            vols = [
+                None if v is None else v.astype(self.compute_dtype)
+                for v in vols
+            ]
         # pack each trilinear footprint into one row (octet tables) — the
         # TPU analog of the reference's `.dense()` cache
         # (SparseConvNet.encode, SparseConvNet.py:126-143) laid out so every
@@ -763,6 +783,7 @@ class Renderer(BaseRenderer):
             dense_list = [vols[0], combined]
         else:
             dense_list = vols
+        sh1 = tuple(grids[1].shape)
         octet_scales = None
         if self.quantize_volume:
             from gpnerf_tpu.ops.grid_sample import build_octet_table_3d_u32
@@ -773,11 +794,22 @@ class Renderer(BaseRenderer):
                 else build_octet_table_3d
             )
             octet_vols, octet_scales = [], []
-            for vol in dense_list:
-                q, sc = quantize_volume_u8(vol)
+            for i, vol in enumerate(dense_list):
+                if i == 0 and flat1 is not None:
+                    # quantize the flat rows; only the u8 result takes the
+                    # layout round-trip into 4D
+                    qf, sc = quantize_volume_u8(flat1)
+                    q = qf.reshape(sh1 + (qf.shape[-1],))
+                else:
+                    q, sc = quantize_volume_u8(vol)
                 octet_vols.append(build(q))
                 octet_scales.append(sc)
         else:
+            if flat1 is not None:
+                v1 = flat1.reshape(sh1 + (flat1.shape[-1],))
+                if self.compute_dtype is not None:
+                    v1 = v1.astype(self.compute_dtype)
+                dense_list = [v1] + list(dense_list[1:])
             octet_vols = [build_octet_table_3d(v) for v in dense_list]
         # packed bilinear tables for the projection gathers (one row-gather
         # per point/view/map instead of four). With merge_src_feat the
@@ -924,7 +956,12 @@ class Renderer(BaseRenderer):
             bins = None
             # occupancy-cull byte volume (one-voxel dilated; _ray_pipeline)
             if self.tight_cull:
-                cull_vol = occupancy_volume_dense(vols, levels=(0,))
+                if level_feats is not None:
+                    cull_vol = occupancy_volume(
+                        level_feats, grids, levels=(0,)
+                    )
+                else:
+                    cull_vol = occupancy_volume_dense(vols, levels=(0,))
             else:
                 cull_vol = masks3d
             occb = cull_vol > 0
