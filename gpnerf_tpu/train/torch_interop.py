@@ -33,7 +33,10 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def _encoder_map() -> List[Tuple[str, str, Tuple[str, ...], str]]:
+def _encoder_map(blocks=(3, 4, 6)) -> List[Tuple[str, str, Tuple[str, ...], str]]:
+    """`blocks`: BasicBlock counts per stage — (3, 4, 6) is the reference's
+    resnet34 (UNet.py:149); (2, 2, 2) / (1, 1, 1) cover the resnet18 and
+    test-only tiny variants."""
     m = []
 
     def conv(tk, fp):
@@ -49,7 +52,7 @@ def _encoder_map() -> List[Tuple[str, str, Tuple[str, ...], str]]:
 
     conv("encoder.conv1", ("encoder", "conv1"))
     inorm("encoder.bn1", ("encoder", "bn1"))
-    for lname, n in (("layer1", 3), ("layer2", 4), ("layer3", 6)):
+    for lname, n in zip(("layer1", "layer2", "layer3"), blocks):
         for b in range(n):
             base = f"encoder.{lname}.{b}"
             fb = ("encoder", f"{lname}_{b}")
@@ -144,8 +147,19 @@ def _head_map(n_layers=4) -> List:
     return m
 
 
-def full_key_map(n_layers=4):
-    return _encoder_map() + _head_map(n_layers)
+_ENCODER_BLOCKS = {"resnet34": (3, 4, 6), "resnet18": (2, 2, 2), "tiny": (1, 1, 1)}
+
+
+def full_key_map(n_layers=4, encoder_blocks=(3, 4, 6)):
+    return _encoder_map(encoder_blocks) + _head_map(n_layers)
+
+
+def _infer_encoder_blocks(encoder_params):
+    """Block counts per stage from the flax param tree (layerN_B keys)."""
+    return tuple(
+        sum(1 for k in encoder_params if k.startswith(f"layer{i}_"))
+        for i in (1, 2, 3)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -203,7 +217,8 @@ def variables_to_torch_state(variables, n_layers=4) -> Dict[str, np.ndarray]:
     """{'encoder': vars, 'head': vars} -> torch-style flat state_dict
     (numpy values; callers wrap with torch.from_numpy for torch.save)."""
     state = {}
-    for tk, coll, path, kind in full_key_map(n_layers):
+    blocks = _infer_encoder_blocks(variables["encoder"]["params"])
+    for tk, coll, path, kind in full_key_map(n_layers, blocks):
         root, rest = path[0], path[1:]
         tree = variables[root][coll]
         state[tk] = _to_torch(_get(tree, rest), kind)
@@ -228,7 +243,8 @@ def torch_state_to_variables(state, variables_template, n_layers=4, strict=True)
         {k: {c: dict_copy(v) for c, v in variables_template[k].items()} for k in variables_template}
     )
     missing = []
-    for tk, coll, path, kind in full_key_map(n_layers):
+    blocks = _infer_encoder_blocks(variables_template["encoder"]["params"])
+    for tk, coll, path, kind in full_key_map(n_layers, blocks):
         if tk not in state:
             if strict:
                 missing.append(tk)

@@ -28,3 +28,16 @@ jax.config.update("jax_enable_x64", False)
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def zju_root(tmp_path_factory):
+    """Fabricated on-disk ZJU tree, built ONCE per suite run: writing the
+    21-camera 1024^2 jpeg/png tree costs ~25 s on this 1-core box and two
+    test files need it (dataset e2e + real-data drill)."""
+    from test_dataset_fixtures import build_zju_tree
+
+    return build_zju_tree(tmp_path_factory.mktemp("zju"))

@@ -29,6 +29,12 @@ def _grads_and_loss(train_dtype):
     cfg.tpu.eval_chunk = 1024
     cfg.freeze()
 
+    # seed BOTH RNGs: the fixture dataset's view selection draws from
+    # stdlib random (mirroring ZjumocapDataset.py:310-353), so suite-order
+    # state bleed otherwise changes the rendered views and the grad cosine
+    import random
+
+    random.seed(0)
     np.random.seed(0)
     ds = get("dataset", cfg.dataset.train.file)(cfg, is_train=True)
     render = get("render", cfg.render.file)(cfg)

@@ -33,11 +33,6 @@ def _body(frame):
     return world, colors, rv, Th
 
 
-@pytest.fixture(scope="module")
-def zju_root(tmp_path_factory):
-    return build_zju_tree(tmp_path_factory.mktemp("zju"))
-
-
 def build_zju_tree(root):
     """Fabricate a tiny on-disk ZJU-MoCap tree (annots.npy with mm
     translations + distortion, mask_cihp, vertices/params) from the

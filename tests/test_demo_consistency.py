@@ -67,7 +67,9 @@ def test_demo_matches_base_on_covered_pixels():
     variables = load_eval_model(CKPT, variables, cfg.head.sigma.n_layers)
 
     H, W = 128, 128
-    n_views = ds.num_cams  # every test cam of frame 0
+    # two test cams are enough to catch view-dependent divergence; the
+    # full-set quality evidence lives in the TPU quality sweep
+    n_views = min(ds.num_cams, 2)
     assert n_views >= 2
     for view in range(n_views):
         np.random.seed(view)

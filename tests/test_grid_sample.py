@@ -232,3 +232,43 @@ def test_quantized_proj_table_close_and_linear():
     ref = bilinear_quad_nhwc_pv(build_quad_table_2d(img), grid, H, W)
     err = np.abs(np.asarray(out_q) - np.asarray(ref))
     assert (err < np.asarray(sc)[None, None, :] + 1e-6).all()
+
+
+def test_pallas_lerp_matches_pv_form():
+    """The fused Pallas weighted-sum/dequant kernel (interpret mode on CPU)
+    reproduces bilinear_quad_nhwc_pv on an int8 table: same taps, same
+    in-bounds masking, dequant after the sum (f32 accumulation is tighter
+    than the pv form's compute-dtype accumulation, hence the loose rtol)."""
+    from unittest import mock
+
+    from gpnerf_tpu.ops import pallas_lerp
+    from gpnerf_tpu.ops.grid_sample import (
+        bilinear_quad_nhwc_pv,
+        bilinear_quad_nhwc_pv_pallas,
+        build_quad_table_2d,
+        quantize_image_i8,
+    )
+
+    rng = np.random.default_rng(7)
+    V, H, W, C = 3, 12, 11, 6
+    img = jnp.asarray(rng.standard_normal((V, H, W, C)).astype(np.float32))
+    q, sc = quantize_image_i8(img)
+    tab = build_quad_table_2d(q)
+    grid = jnp.asarray(
+        rng.uniform(-1.3, 1.3, size=(V, 300, 2)).astype(np.float32)
+    )
+    ref = bilinear_quad_nhwc_pv(tab, grid, H, W, scale=sc)
+    orig = pallas_lerp.quad_lerp_rows_vcp
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        kw["block"] = 128
+        return orig(*a, **kw)
+
+    with mock.patch.object(pallas_lerp, "quad_lerp_rows_vcp", interp):
+        out = bilinear_quad_nhwc_pv_pallas(tab, grid, H, W, scale=sc)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=1e-5, atol=1e-6,
+    )

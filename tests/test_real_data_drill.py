@@ -18,12 +18,9 @@ import jax
 import numpy as np
 import pytest
 
-from test_dataset_fixtures import build_zju_tree
-
-
 @pytest.mark.slow
-def test_published_checkpoint_eval_command(tmp_path):
-    root = build_zju_tree(tmp_path / "zju")
+def test_published_checkpoint_eval_command(tmp_path, zju_root):
+    root = zju_root
 
     # write a checkpoint in the reference's exact .pth layout (the same
     # reader ingests the published cam3zju_zjuval_70.pth; cross-validated

@@ -19,6 +19,7 @@ def test_trainer_two_epochs(tmp_path):
     cfg = _cfg.clone()
     cfg.defrost()
     cfg.merge_from_file("configs/synthetic.yaml")
+    cfg.encoder.name = "tiny"  # orchestration e2e: trace/compile time, not depth
     cfg.dataset.H = 128
     cfg.dataset.W = 128
     cfg.head.sigma.code_dim = 16
