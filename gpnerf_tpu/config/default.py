@@ -212,6 +212,15 @@ cfg.tpu.quantize_volume = True
 # on v5e (14.4 vs 17.2 fps bench): the post-gather unpack shifts cost more
 # than the build saves; kept as an option.
 cfg.tpu.pack_octet_u32 = False
+# per-view (V, P) projection gather + float-output transpose instead of the
+# (P, V)-ordered single gather — a layout-assignment trade measured per
+# pipeline generation (ops/projection.py)
+cfg.tpu.proj_vp_order = False
+# fuse the projection gather's 4-tap weighted sum + int8 dequant in a Pallas
+# kernel writing (V, C, P) view-major/point-on-lanes (ops/pallas_lerp.py) —
+# TPU backend only; measured 43.6 -> 41.4 ms/frame (XLA re-tiled the int8
+# gather output twice before its fused weighted sum)
+cfg.tpu.pallas_lerp = True
 # int8-quantize the merged [rgb|feat] projection table (per-channel
 # symmetric scales, dequantized after the bilinear sum): halves the bytes
 # of the largest per-point gather and its (P, V, C) relayout. Only applies

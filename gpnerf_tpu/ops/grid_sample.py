@@ -162,11 +162,13 @@ def build_quad_table_2d(img):
     )
 
 
-def bilinear_quad_nhwc(table, grid, h, w):
+def bilinear_quad_nhwc(table, grid, h, w, scale=None, out_dtype=None):
     """`grid_sample_2d_nhwc` semantics through a quad table.
 
     table: (N, H+1, W+1, 4C) from build_quad_table_2d.
     grid: (N, P, 2) normalized (x, y) in [-1, 1] (align_corners=True).
+    `scale`/`out_dtype`: as in bilinear_quad_nhwc_pv (int8 dequant factors
+    applied after the weighted sum).
     Returns (N, P, C)."""
     N = table.shape[0]
     C4 = table.shape[-1]
@@ -187,7 +189,10 @@ def bilinear_quad_nhwc(table, grid, h, w):
     rows = jnp.take_along_axis(
         flat, (yc * (w + 1) + xc)[..., None], axis=1
     )  # (N, P, 4C)
-    dt = table.dtype
+    quantized = table.dtype == jnp.int8
+    dt = out_dtype if out_dtype is not None else (
+        jnp.float32 if quantized else table.dtype
+    )
     wx1 = wx1.astype(dt)
     wy1 = wy1.astype(dt)
     wx0 = 1.0 - wx1
@@ -198,11 +203,13 @@ def bilinear_quad_nhwc(table, grid, h, w):
         return (wgt * inb.astype(dt))[..., None]
 
     out = (
-        rows[..., 0 * C : 1 * C] * tapw(xi, yi, wx0 * wy0)
-        + rows[..., 1 * C : 2 * C] * tapw(xi + 1, yi, wx1 * wy0)
-        + rows[..., 2 * C : 3 * C] * tapw(xi, yi + 1, wx0 * wy1)
-        + rows[..., 3 * C : 4 * C] * tapw(xi + 1, yi + 1, wx1 * wy1)
+        rows[..., 0 * C : 1 * C].astype(dt) * tapw(xi, yi, wx0 * wy0)
+        + rows[..., 1 * C : 2 * C].astype(dt) * tapw(xi + 1, yi, wx1 * wy0)
+        + rows[..., 2 * C : 3 * C].astype(dt) * tapw(xi, yi + 1, wx0 * wy1)
+        + rows[..., 3 * C : 4 * C].astype(dt) * tapw(xi + 1, yi + 1, wx1 * wy1)
     )
+    if scale is not None:
+        out = out * scale.astype(dt)[None, None, :]
     # base clipped => row mismatch only when the sample is >=1 cell outside,
     # where all tap weights are zero already
     return out
@@ -264,6 +271,67 @@ def bilinear_quad_nhwc_pv(table, grid, h, w, scale=None, out_dtype=None):
     if scale is not None:
         out = out * scale.astype(dt)[None, None, :]
     return out
+
+
+def bilinear_quad_nhwc_pv_pallas(table, grid, h, w, scale=None,
+                                 out_dtype=None, interpret=False):
+    """`bilinear_quad_nhwc_pv` with the post-gather weighted sum + dequant
+    fused in a Pallas kernel that writes the result CHANNEL-MAJOR
+    (ops.pallas_lerp): the gather rows are consumed in their native
+    row-major layout, so XLA's 2.4 ms/frame double re-tile of the int8
+    gather output disappears. Returns (P, V, C) as a lazy transpose of the
+    (C, P, V) kernel output — layout assignment folds it into the
+    point-on-lanes consumers."""
+    from gpnerf_tpu.ops.pallas_lerp import quad_lerp_rows_vcp
+
+    V = table.shape[0]
+    C4 = table.shape[-1]
+    C = C4 // 4
+    x = _unnormalize(grid[..., 0], w)
+    y = _unnormalize(grid[..., 1], h)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = (x - x0).astype(jnp.float32)
+    wy1 = (y - y0).astype(jnp.float32)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    xc = jnp.clip(xi, -1, w - 1) + 1
+    yc = jnp.clip(yi, -1, h - 1) + 1
+    stride = (h + 1) * (w + 1)
+    voff = jnp.arange(V, dtype=jnp.int32)[:, None] * stride  # (V, 1)
+    idx_vp = yc * (w + 1) + xc + voff  # (V, P), natural view-major order
+    P = idx_vp.shape[1]
+    flat = table.reshape(V * stride, C4)
+    rows = flat[idx_vp.reshape(-1)]  # (V*P, 4C), native row-major
+
+    def tapw(xi_, yi_, wgt):
+        inb = (xi_ >= 0) & (xi_ <= w - 1) & (yi_ >= 0) & (yi_ <= h - 1)
+        return wgt * inb.astype(jnp.float32)  # (V, P)
+
+    w4 = jnp.stack(
+        [
+            tapw(xi, yi, wx0 * wy0),
+            tapw(xi + 1, yi, wx1 * wy0),
+            tapw(xi, yi + 1, wx0 * wy1),
+            tapw(xi + 1, yi + 1, wx1 * wy1),
+        ],
+        axis=1,
+    )  # (V, 4, P) — same tap order as the quad table packing
+    quantized = table.dtype == jnp.int8
+    dt = out_dtype if out_dtype is not None else (
+        jnp.float32 if quantized else table.dtype
+    )
+    sc = (
+        scale.astype(jnp.float32)
+        if scale is not None
+        else jnp.ones((C,), jnp.float32)
+    )
+    out_vcp = quad_lerp_rows_vcp(
+        rows, w4, sc, out_dtype=dt, interpret=interpret
+    )  # (V, C, P) — physically the point stages' rgb_feat layout
+    return out_vcp.transpose(2, 0, 1)  # lazy (P, V, C)
 
 
 def build_octet_table_3d(vol):

@@ -102,7 +102,8 @@ def project_and_gather_quad(xyz, KE, src_quad, feat_quad, h, w, *, neg_ray=False
 
 def project_and_gather_quad_merged(xyz, KE, srcfeat_quad, h, w, *,
                                    neg_ray=False, scale=None,
-                                   out_dtype=None):
+                                   out_dtype=None, vp_order=False,
+                                   pallas=False):
     """`project_and_gather_quad` through ONE combined [rgb|features] quad
     table: a single row-gather per (point, view) instead of two. The table
     may live at any resolution (features upsampled to source resolution, or
@@ -113,16 +114,35 @@ def project_and_gather_quad_merged(xyz, KE, srcfeat_quad, h, w, *,
     srcfeat_quad: (V, Ht+1, Wt+1, 4*(3+C)); `scale`: per-channel
     dequantization factors when the table is int8-quantized.
     Returns rgb_feat (P, V, 3 + C), mask (P, V)."""
-    from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc_pv
+    from gpnerf_tpu.ops.grid_sample import (
+        bilinear_quad_nhwc,
+        bilinear_quad_nhwc_pv,
+        bilinear_quad_nhwc_pv_pallas,
+    )
 
     pixel, in_front = compute_projections(xyz, KE, neg_ray=neg_ray)
     norm_pix = normalize_pixels(pixel, h, w)
     ht = srcfeat_quad.shape[1] - 1
     wt = srcfeat_quad.shape[2] - 1
-    # gather emitted directly in (P, V) row order (no transpose copy)
-    rgb_feat = bilinear_quad_nhwc_pv(
-        srcfeat_quad, norm_pix, ht, wt, scale=scale, out_dtype=out_dtype
-    )
+    if pallas:
+        # fused Pallas weighted-sum/dequant, channel-major output (kills
+        # the int8 gather-output re-tile copies; ops/pallas_lerp.py)
+        rgb_feat = bilinear_quad_nhwc_pv_pallas(
+            srcfeat_quad, norm_pix, ht, wt, scale=scale, out_dtype=out_dtype
+        )
+    elif vp_order:
+        # per-view (V, P) gather + float output transpose: with int8 tables
+        # the (P, V)-ordered gather's s8 relayout moves 134 MB while this
+        # form transposes only the 67 MB float result
+        vp = bilinear_quad_nhwc(
+            srcfeat_quad, norm_pix, ht, wt, scale=scale, out_dtype=out_dtype
+        )  # (V, P, C)
+        rgb_feat = vp.transpose(1, 0, 2)
+    else:
+        # gather emitted directly in (P, V) row order (no transpose copy)
+        rgb_feat = bilinear_quad_nhwc_pv(
+            srcfeat_quad, norm_pix, ht, wt, scale=scale, out_dtype=out_dtype
+        )
     mask = (inbound_mask(pixel, h, w) & in_front).astype(rgb_feat.dtype)
     return rgb_feat, mask.transpose(1, 0)
 

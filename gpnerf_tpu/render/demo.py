@@ -101,7 +101,8 @@ class Renderer(BaseRenderer):
                  frame_mode=False, dense_slots=False,
                  window_margin_voxels=6.0, splat_bins=False,
                  bin_margin_voxels=2.0, quantize_proj=False,
-                 pack_octet_u32=False, **kwargs):
+                 pack_octet_u32=False, proj_vp_order=False,
+                 pallas_lerp=False, **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
@@ -174,6 +175,13 @@ class Renderer(BaseRenderer):
         # the element count of the pad+concat table build (same bytes, same
         # gather rows; rows unpack after the gather)
         self.pack_octet_u32 = bool(pack_octet_u32)
+        # per-view (V, P) projection gather + float-output transpose instead
+        # of the (P, V)-ordered gather (layout-assignment trade; see
+        # ops/projection.py)
+        self.proj_vp_order = bool(proj_vp_order)
+        # fused Pallas projection weighted-sum (TPU backend only; the JAX
+        # path is used elsewhere and under tests)
+        self.pallas_lerp = bool(pallas_lerp)
         self._demo_jit = None
         self._encoder_jit = None
         self._last_etime = 0.0
@@ -521,7 +529,8 @@ class Renderer(BaseRenderer):
 
             rgb_feat, view_mask = project_and_gather_quad_merged(
                 pts_c, pre["KE"], src_quad, Hsrc, Wsrc, neg_ray=neg_ray,
-                scale=tables.get("proj_scale"),
+                scale=tables.get("proj_scale"), vp_order=self.proj_vp_order,
+                pallas=self.pallas_lerp and jax.default_backend() == "tpu",
                 out_dtype=(
                     self.compute_dtype
                     if tables.get("proj_scale") is not None
@@ -1291,6 +1300,8 @@ def build_render(cfg):
         bin_margin_voxels=cfg.tpu.bin_margin_voxels,
         quantize_proj=cfg.tpu.quantize_proj,
         pack_octet_u32=cfg.tpu.pack_octet_u32,
+        proj_vp_order=cfg.tpu.proj_vp_order,
+        pallas_lerp=cfg.tpu.pallas_lerp,
     )
 
 

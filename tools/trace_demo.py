@@ -35,6 +35,8 @@ def capture(trace_dir):
     cfg.dataset.ratio = 1.0
     cfg.head.sigma.code_dim = 32
     cfg.render.file = "demo_render"
+    if len(sys.argv) > 3:  # trailing dotted overrides: trace_demo.py ckpt 40 k v ...
+        cfg.merge_from_list(sys.argv[3:])
     cfg.freeze()
 
     render = get("render", cfg.render.file)(cfg)
