@@ -15,6 +15,8 @@ torch call signatures for tests and drop-in use.
 
 from __future__ import annotations
 
+from typing import NamedTuple, Tuple
+
 import jax.numpy as jnp
 
 
@@ -356,6 +358,57 @@ def build_octet_table_3d(vol):
     return jnp.concatenate(parts, axis=-1)
 
 
+class FlatOctetTable(NamedTuple):
+    """Octet table stored FLAT: rows (Dp*Hp*Wp + 1, 8C) with a trailing
+    dump row (never gathered), plus the static 3D row-stride shape.
+
+    Built by `build_octet_table_scatter` — byte-identical content to
+    `build_octet_table_3d(dense).reshape(-1, 8C)` but born in the gather's
+    row-major layout, so no 4D concat / reshape re-tiles ever run."""
+
+    rows: jnp.ndarray
+    shape: Tuple[int, int, int]
+
+
+def build_octet_table_scatter(feats, coords, valid, shape):
+    """Corner-scatter octet build for a SPARSE level.
+
+    The level-1 feature volume has only CAP (~16.9k) active sites; the
+    slice-concat build (`build_octet_table_3d`) streams the full 228 MB
+    table through pad/concat/reshape re-tiles regardless. Here each active
+    row lands in its 8 covering table rows by ONE scatter-add of
+    (8*CAP, 8C) pre-placed rows into a zeroed flat table (~35 MB of
+    traffic): corner k = (dz, dy, dx) of table row (z, y, x) reads volume
+    site (z-1+dz, y-1+dy, x-1+dx), so site (a, b, c) appears at row
+    (a+1-dz, b+1-dy, c+1-dx) in lane block k. Each (row, lane-block) pair
+    is written by at most one site (the site index is a bijection of the
+    row index per corner), so scatter-add over disjoint lanes is exact.
+
+    feats: (CAP, C) active-site rows, already zeroed at invalid rows (any
+      dtype; uint8 for the quantized demo path).
+    coords/valid: the level's (CAP, 3) int32 dhw coords + mask (coords must
+      be deduplicated — SparseGrid/SparseLevel guarantee this).
+    shape: static (D, H, W) of the level grid.
+    Returns FlatOctetTable with rows (Dp*Hp*Wp + 1, 8C)."""
+    import itertools as _it
+
+    CAP, C = feats.shape
+    D, H, W = shape
+    Dp, Hp, Wp = D + 1, H + 1, W + 1
+    R = Dp * Hp * Wp
+    idxs, parts = [], []
+    for k, (dz, dy, dx) in enumerate(_it.product((0, 1), repeat=3)):
+        tgt = coords + (1 - jnp.asarray([dz, dy, dx], jnp.int32))
+        fl = (tgt[:, 0] * Hp + tgt[:, 1]) * Wp + tgt[:, 2]
+        idxs.append(jnp.where(valid, fl, R))
+        parts.append(jnp.pad(feats, ((0, 0), (k * C, (7 - k) * C))))
+    table = jnp.zeros((R + 1, 8 * C), feats.dtype)
+    table = table.at[jnp.concatenate(idxs)].add(
+        jnp.concatenate(parts), mode="drop", unique_indices=False
+    )
+    return FlatOctetTable(table, (Dp, Hp, Wp))
+
+
 def build_octet_table_3d_u32(q):
     """`build_octet_table_3d` on a uint8-quantized volume, built and stored
     as packed uint32 words (4 channels/word): XLA's minor-axis concatenate
@@ -466,18 +519,23 @@ def trilinear_octet_rows(table, pos, size, scale=None, out_dtype=None):
 
     import jax
 
-    packed_u32 = table.dtype == jnp.uint32
-    Dp, Hp, Wp, Cw = table.shape
+    if isinstance(table, FlatOctetTable):
+        Dp, Hp, Wp = table.shape
+        flat = table.rows
+        Cw = flat.shape[-1]
+    else:
+        Dp, Hp, Wp, Cw = table.shape
+        flat = table.reshape(-1, Cw)
+    packed_u32 = flat.dtype == jnp.uint32
     C8 = Cw * 4 if packed_u32 else Cw
     C = C8 // 8
     wdt = out_dtype if out_dtype is not None else (
-        jnp.float32 if (scale is not None or packed_u32) else table.dtype
+        jnp.float32 if (scale is not None or packed_u32) else flat.dtype
     )
     base = jnp.floor(pos).astype(jnp.int32)
     w1 = (pos - jnp.floor(pos)).astype(wdt)
     w0 = 1.0 - w1
     bc = jnp.clip(base, -1, jnp.asarray([Dp - 2, Hp - 2, Wp - 2])) + 1
-    flat = table.reshape(-1, Cw)
     rows = flat[(bc[:, 0] * Hp + bc[:, 1]) * Wp + bc[:, 2]]  # (P, 8C)
     if packed_u32:
         rows = jax.lax.bitcast_convert_type(rows, jnp.uint8).reshape(-1, C8)

@@ -409,5 +409,7 @@ def scatter_dense(feats, grid: SparseGrid):
         grid.valid[:, None], grid.coords, jnp.asarray(grid.shape, jnp.int32)
     )
     vol = jnp.zeros(grid.shape + (C,), dtype=feats.dtype)
-    vals = jnp.where(grid.valid[:, None], feats, 0.0)
+    vals = jnp.where(
+        grid.valid[:, None], feats, jnp.zeros((), dtype=feats.dtype)
+    )
     return vol.at[safe[:, 0], safe[:, 1], safe[:, 2]].set(vals, mode="drop")

@@ -730,15 +730,21 @@ class Renderer(BaseRenderer):
                 lambda m, *a: m.volume(*a, train=False),
                 pre["smpl_feat"], pre["vertex_rows"], grids,
             )
-            # the LEVEL-1 volume stays flat (D*H*W, C): its 4D f32 form paid
-            # a 110 MB relayout copy between the row scatter's channel-major
-            # layout and the octet build's layout (measured 1.6 ms/frame);
-            # the quantized-u8 reshape below is 4x smaller. The occupancy
-            # field comes from the per-level channel-sum scatters (identical
-            # math to channel-summing the dense volumes).
+            # the LEVEL-1 volume is never materialized dense in the
+            # quantized path: its octet table is corner-SCATTERED straight
+            # from the ~16.9k active rows (build_octet_table_scatter, ~35 MB
+            # of scatter traffic vs streaming the 228 MB table through the
+            # slice-concat build, plus the dense f32 scatter + quantize
+            # round-trip it replaced). The occupancy field comes from the
+            # per-level channel-sum scatters (identical math to
+            # channel-summing the dense volumes).
             from gpnerf_tpu.ops.sparse_conv import scatter_dense_rows
 
-            flat1 = scatter_dense_rows(level_feats[0], grids[1])
+            flat1 = (
+                None
+                if self.quantize_volume
+                else scatter_dense_rows(level_feats[0], grids[1])
+            )
             vols = [None] + [
                 scatter_dense(level_feats[i], grids[i + 1]) for i in (1, 2, 3)
             ]
@@ -749,6 +755,11 @@ class Renderer(BaseRenderer):
                     v.sum().astype(jnp.float32) for v in vols if v is not None
                 )
                 + (0.0 if flat1 is None else flat1.sum())
+                + (
+                    0.0
+                    if level_feats is None
+                    else level_feats[0].sum().astype(jnp.float32)
+                )
             }
         # occupancy stays float32: masks3d feeds > occupancy_threshold
         # comparisons (voxel election, zmin splat) where bf16 rounding can
@@ -795,7 +806,10 @@ class Renderer(BaseRenderer):
         sh1 = tuple(grids[1].shape)
         octet_scales = None
         if self.quantize_volume:
-            from gpnerf_tpu.ops.grid_sample import build_octet_table_3d_u32
+            from gpnerf_tpu.ops.grid_sample import (
+                build_octet_table_3d_u32,
+                build_octet_table_scatter,
+            )
 
             build = (
                 build_octet_table_3d_u32
@@ -804,13 +818,23 @@ class Renderer(BaseRenderer):
             )
             octet_vols, octet_scales = [], []
             for i, vol in enumerate(dense_list):
-                if i == 0 and flat1 is not None:
-                    # quantize the flat rows; only the u8 result takes the
-                    # layout round-trip into 4D
-                    qf, sc = quantize_volume_u8(flat1)
-                    q = qf.reshape(sh1 + (qf.shape[-1],))
-                else:
-                    q, sc = quantize_volume_u8(vol)
+                if i == 0 and vol is None and level_feats is not None:
+                    # level-1: quantize the ACTIVE rows (their max equals
+                    # the dense volume's max — post-ReLU, zeros elsewhere)
+                    # and corner-scatter them straight into the flat table
+                    g1 = grids[1]
+                    rows0 = jnp.where(
+                        g1.valid[:, None], level_feats[0], 0.0
+                    )
+                    q_rows, sc = quantize_volume_u8(rows0)
+                    octet_vols.append(
+                        build_octet_table_scatter(
+                            q_rows, g1.coords, g1.valid, g1.shape
+                        )
+                    )
+                    octet_scales.append(sc)
+                    continue
+                q, sc = quantize_volume_u8(vol)
                 octet_vols.append(build(q))
                 octet_scales.append(sc)
         else:
@@ -870,7 +894,10 @@ class Renderer(BaseRenderer):
             proj_scale = None
         if stop_stage == "volume":
             return {
-                "dbg": sum(v.sum() for v in octet_vols)
+                "dbg": sum(
+                    (v.rows if hasattr(v, "rows") else v).sum()
+                    for v in octet_vols
+                )
                 + masks3d.sum()
                 + src_quad.sum()
                 + (0.0 if feat_quad is None else feat_quad.sum())

@@ -272,3 +272,50 @@ def test_pallas_lerp_matches_pv_form():
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_octet_scatter_build_matches_concat_build():
+    """build_octet_table_scatter (corner-scatter from active rows) is
+    byte-identical to build_octet_table_3d(scatter_dense(...)) and gathers
+    identically through trilinear_octet_rows, including dedup'd invalid
+    rows and uint8 quantized features."""
+    from gpnerf_tpu.ops.grid_sample import (
+        build_octet_table_3d,
+        build_octet_table_scatter,
+        trilinear_octet_rows,
+    )
+    from gpnerf_tpu.ops.sparse_conv import build_sparse_grid, scatter_dense
+
+    rng = np.random.default_rng(11)
+    D, H, W, C = 6, 7, 5, 4
+    cap = 40
+    coords = jnp.asarray(
+        rng.integers(0, [D, H, W], size=(cap, 3)), jnp.int32
+    )
+    valid = jnp.asarray(rng.uniform(size=cap) < 0.8)
+    grid = build_sparse_grid(coords, valid, (D, H, W))  # dedups
+    feats = jnp.asarray(
+        rng.integers(0, 255, size=(cap, C)), jnp.uint8
+    )
+    feats_masked = jnp.where(grid.valid[:, None], feats, 0)
+    ref_table = build_octet_table_3d(scatter_dense(feats_masked, grid))
+    flat = build_octet_table_scatter(
+        feats_masked, grid.coords, grid.valid, grid.shape
+    )
+    Dp, Hp, Wp = flat.shape
+    assert (Dp, Hp, Wp) == (D + 1, H + 1, W + 1)
+    np.testing.assert_array_equal(
+        np.asarray(flat.rows[:-1]).reshape(Dp, Hp, Wp, 8 * C),
+        np.asarray(ref_table),
+    )
+    # gather parity through both table forms, incl. dequant scale
+    pos = jnp.asarray(
+        rng.uniform(-1.5, max(D, H, W) + 0.5, size=(200, 3)).astype(np.float32)
+    )
+    dyn = jnp.asarray([D - 1, H, W - 1], jnp.int32)
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, size=C).astype(np.float32))
+    ref = trilinear_octet_rows(ref_table, pos, dyn, scale=scale)
+    out = trilinear_octet_rows(flat, pos, dyn, scale=scale)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
