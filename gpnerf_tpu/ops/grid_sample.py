@@ -392,20 +392,42 @@ def build_octet_table_scatter(feats, coords, valid, shape):
     Returns FlatOctetTable with rows (Dp*Hp*Wp + 1, 8C)."""
     import itertools as _it
 
+    import jax
+
     CAP, C = feats.shape
     D, H, W = shape
     Dp, Hp, Wp = D + 1, H + 1, W + 1
     R = Dp * Hp * Wp
+    # u8 rows scatter as u32 WORDS: the add never carries across bytes
+    # (each (row, corner-block) is written by at most one site; the other
+    # updates hold zeros there), the scattered element count drops 4x (the
+    # u8 scatter-add is a sub-word RMW), and the u8 view of the result is a
+    # pure bitcast — u32{1,0:T(8,128)} and u8{1,0:T(8,128)(4,1)} tile to
+    # the same physical bytes. Measured 3.3 -> ~1.5 ms on the 891k-row
+    # level-1 table.
+    packed = feats.dtype == jnp.uint8 and C % 4 == 0
+    if packed:
+        Cw = C // 4
+        rows_in = jax.lax.bitcast_convert_type(
+            feats.reshape(CAP, Cw, 4), jnp.uint32
+        )
+    else:
+        Cw = C
+        rows_in = feats
     idxs, parts = [], []
     for k, (dz, dy, dx) in enumerate(_it.product((0, 1), repeat=3)):
         tgt = coords + (1 - jnp.asarray([dz, dy, dx], jnp.int32))
         fl = (tgt[:, 0] * Hp + tgt[:, 1]) * Wp + tgt[:, 2]
         idxs.append(jnp.where(valid, fl, R))
-        parts.append(jnp.pad(feats, ((0, 0), (k * C, (7 - k) * C))))
-    table = jnp.zeros((R + 1, 8 * C), feats.dtype)
+        parts.append(jnp.pad(rows_in, ((0, 0), (k * Cw, (7 - k) * Cw))))
+    table = jnp.zeros((R + 1, 8 * Cw), rows_in.dtype)
     table = table.at[jnp.concatenate(idxs)].add(
         jnp.concatenate(parts), mode="drop", unique_indices=False
     )
+    if packed:
+        table = jax.lax.bitcast_convert_type(table, jnp.uint8).reshape(
+            R + 1, 8 * C
+        )
     return FlatOctetTable(table, (Dp, Hp, Wp))
 
 

@@ -268,11 +268,33 @@ class Renderer(BaseRenderer):
         tgt = jnp.where(ok, pix * S + jnp.clip(b0, 0, S - 1), oob)
         binimg = binimg.at[tgt].set(1, mode="drop")
         bi = binimg.reshape(Himg, Wimg, S)
+        # BIT-PACK the bin axis (u32 words, bin b -> word b//32 bit b%32):
+        # the depth-fill and pixel-dilation OR passes each stream the whole
+        # bin image, and at u8[512,512,64] that was 16.7 MB x ~12 passes
+        # (~1.1 ms/frame); packed they run on 1/8 the bytes. One pack pass
+        # reads the u8 scatter output once; per-ray rows gather as 8-byte
+        # words and unpack AFTER the (ray_cap,)-row gather (_unpack_bins).
+        S32 = -(-S // 32) * 32
+        if S32 != S:
+            bi = jnp.pad(bi, ((0, 0), (0, 0), (0, S32 - S)))
+        bits8 = (
+            (bi.reshape(Himg, Wimg, S32 // 8, 8)
+             * (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)))
+            .sum(axis=-1, dtype=jnp.uint8)
+        )  # disjoint bits: sum == OR
+        w = jax.lax.bitcast_convert_type(
+            bits8.reshape(Himg, Wimg, S32 // 32, 4), jnp.uint32
+        )  # (H, W, words); HLO bitcast is little-endian (low index = low bits)
         # depth fill: marks at b0+j, j=1..5 — the same static span the old
-        # j-loop covered (2*rad + rounding at any dz); one fused OR pass
-        acc = bi
+        # j-loop covered (2*rad + rounding at any dz); packed shift-left
+        # with cross-word carry
+        acc = w
         for j in (1, 2, 3, 4, 5):
-            acc = acc | jnp.pad(bi, ((0, 0), (0, 0), (j, 0)))[:, :, :S]
+            carry = jnp.concatenate(
+                [jnp.zeros_like(w[..., :1]), w[..., :-1] >> (32 - j)],
+                axis=-1,
+            )
+            acc = acc | (w << j) | carry
         # pixel plane: [-1, +2] in x and y covers the splat quad plus the
         # one-pixel dilation (superset of the old quad + 4-neighborhood;
         # looser is conservative — the cull keeps a few more samples).
@@ -284,7 +306,17 @@ class Renderer(BaseRenderer):
         ay = ax
         for j in (-1, 1, 2):
             ay = ay | jnp.roll(ax, j, axis=0)
-        return ay.reshape(Himg * Wimg, S)
+        return ay.reshape(Himg * Wimg, S32 // 32)
+
+    @staticmethod
+    def _unpack_bins(binrow, S):
+        """(R, words) u32 packed bin rows -> (R, S) u8 occupancy (bin b =
+        word b//32, bit b%32 — the _splat_bins packing)."""
+        s = jnp.arange(S, dtype=jnp.int32)
+        w_sel = jnp.take(binrow, s // 32, axis=1)  # (R, S) u32
+        return (
+            (w_sel >> (s % 32).astype(jnp.uint32)) & jnp.uint32(1)
+        ).astype(jnp.uint8)
 
     def _ray_pipeline(self, head_vars, batch, pre, tables, rays_o, rays_d,
                       near, far, ray_ok, zmin=None, bins=None,
@@ -985,8 +1017,10 @@ class Renderer(BaseRenderer):
             # per-sample tap gathers
             binimg = self._splat_bins(
                 pts_w, row_ok, batch, Himg, Wimg, can_bounds, *corners
-            )
-            bins = binimg[jnp.minimum(pix_idx, oob - 1)]  # (ray_cap, S) u8
+            )  # (H*W, words) u32, bit-packed bins
+            bins = self._unpack_bins(
+                binimg[jnp.minimum(pix_idx, oob - 1)], S
+            )  # (ray_cap, S) u8
             occb = None
         else:
             bins = None
