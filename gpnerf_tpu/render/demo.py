@@ -1137,6 +1137,44 @@ class Renderer(BaseRenderer):
             self._demo_fused = fused
         return self._demo_fused
 
+    def render_demo_scan_fn(self):
+        """(variables, stacked_batches, order) -> per-frame reduced outputs,
+        rendering order[i]-indexed frames SEQUENTIALLY inside one jitted
+        lax.scan program. One dispatch covers the whole sequence, so the
+        measurement excludes per-call host/tunnel round-trips — on a
+        networked runtime the per-frame async-dispatch loop was observed to
+        swing 39 -> 55 ms/frame between sessions (BENCH_r03) purely from
+        dispatch-path latency while the device-side program is
+        static-shape-deterministic. Returns {"overflows", "counts",
+        "checksum"} stacked per frame; the checksum sums `pred_chw` and
+        `mask_at_box` so no frame work is dead-code-eliminated."""
+        if getattr(self, "_demo_scan", None) is None:
+
+            @jax.jit
+            def scanned(variables, stacked, order):
+                from gpnerf_tpu.render.base import src_norm
+
+                def body(_, i):
+                    b = jax.tree_util.tree_map(lambda x: x[i], stacked)
+                    featmaps = self.encoder.apply(
+                        variables["encoder"], src_norm(b["src_imgs"])
+                    )
+                    ret = self._demo_impl(variables, b, featmaps)
+                    out = {
+                        "overflows": ret["overflows"],
+                        "counts": ret["counts"],
+                        "checksum": ret["pred_chw"].sum()
+                        + ret["rgb_map"].sum()
+                        + ret["mask_at_box"].sum(),
+                    }
+                    return 0, out
+
+                _, outs = jax.lax.scan(body, 0, order)
+                return outs
+
+            self._demo_scan = scanned
+        return self._demo_scan
+
     def render(self, variables, batch, rng=None):
         """Reference-style entry (demo_render.render :429-498): returns the
         full dict plus host-measured etime (encoder) and rtime (progressive

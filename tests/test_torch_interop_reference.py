@@ -56,6 +56,9 @@ def _install_spconv_stub():
             self.weight = nn.Parameter(
                 torch.randn(*kernel_size, in_channels, out_channels) * 0.02
             )
+            self.kernel_size = kernel_size
+            self.stride = stride
+            self.padding = padding
             assert not bias, "reference uses bias-free sparse convs"
 
     class SubMConv3d(_SparseConvBase):
@@ -237,6 +240,200 @@ def test_forward_parity_rgbhead(ref_model, our_variables):
         np.asarray(our_sigma), ref_sigma.numpy(), rtol=2e-4, atol=2e-4
     )
     np.testing.assert_allclose(np.asarray(our_in), ref_in.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def _emulate_sparse_stack_dense_torch(xyzc_net, code_rows, coords, shape):
+    """Plain-torch DENSE emulation of the reference sparse conv stack
+    (/root/reference/libs/nerfheads/networks/SparseConvNet.py:21-124),
+    eval mode:
+
+      * SubMConv3d (k3/k1, s1): dense F.conv3d over the zero-filled volume,
+        output re-masked to the ACTIVE INPUT sites — exactly submanifold
+        semantics (inactive neighbors contribute zero either way; output
+        sites == input sites). spconv 1.2.1 defines its convs to agree with
+        dense torch convs on active sites with the weight laid out
+        (kD, kH, kW, ci, co) -> conv3d's (co, ci, kD, kH, kW).
+      * SparseConv3d (k3, s2, p1): dense strided conv; new active set =
+        any output site with >=1 active input in its receptive field.
+      * BatchNorm1d over active sites, eval mode: running-stats affine
+        (applied densely, then re-masked — BN shifts the zeros at inactive
+        sites, which must stay exactly 0 for the next conv).
+
+    Returns ([level volumes (1, C, D_i, H_i, W_i)], [level masks])."""
+    import torch.nn.functional as F
+
+    D, H, W = shape
+    C = code_rows.shape[1]
+    x = torch.zeros(1, C, D, H, W)
+    x[0, :, coords[:, 0], coords[:, 1], coords[:, 2]] = (
+        torch.from_numpy(code_rows).T
+    )
+    mask = torch.zeros(1, 1, D, H, W)
+    mask[0, 0, coords[:, 0], coords[:, 1], coords[:, 2]] = 1.0
+
+    def run_seq(seq, x, mask):
+        for m in seq.children():
+            name = type(m).__name__
+            if name == "SubMConv3d":
+                w = m.weight.permute(4, 3, 0, 1, 2)
+                pad = m.kernel_size[0] // 2
+                x = F.conv3d(x, w, stride=1, padding=pad) * mask
+            elif name == "SparseConv3d":
+                w = m.weight.permute(4, 3, 0, 1, 2)
+                x = F.conv3d(x, w, stride=2, padding=1)
+                mask = (
+                    F.conv3d(mask, torch.ones(1, 1, 3, 3, 3), stride=2,
+                             padding=1)
+                    > 0
+                ).float()
+                x = x * mask
+            elif isinstance(m, nn.BatchNorm1d):
+                x = F.batch_norm(
+                    x, m.running_mean, m.running_var, m.weight, m.bias,
+                    training=False, momentum=0.0, eps=m.eps,
+                ) * mask
+            elif isinstance(m, nn.ReLU):
+                x = torch.relu(x) * mask
+            else:  # pragma: no cover
+                raise AssertionError(name)
+        return x, mask
+
+    x, mask = run_seq(xyzc_net.net[0], x, mask)  # subm0 double conv
+    vols, masks = [], []
+    for i in range(xyzc_net.n_layers):
+        x, mask = run_seq(xyzc_net.net[2 * i + 1], x, mask)  # down_i (s2)
+        x, mask = run_seq(xyzc_net.net[2 * i + 2], x, mask)  # subm_{i+1}
+        vols.append(x)
+        masks.append(mask)
+    return vols, masks
+
+
+def test_sparse_stack_numeric_parity_vs_dense_torch(our_variables):
+    """VERDICT r3 #4: end-to-end NUMERIC cross-validation of the sparse
+    conv stack (conv weights through torch_state_to_variables + BN running
+    stats + active-set propagation + multi-scale query + sigma_feat linear)
+    against a plain-torch dense emulation of spconv SubM/strided semantics
+    (SparseConvNet.py:21-124) — no spconv install needed. This closes the
+    one link the stubbed-spconv shape tests could not check: that a
+    published checkpoint's sparse weights produce the same geometry volume
+    here as they would under spconv."""
+    import torch.nn.functional as F
+
+    render, variables = our_variables
+    torch.manual_seed(7)
+    ref_unet, ref_trainhead = _load_reference_modules()
+    model = _Container(
+        ref_unet.ResUNet(encoder="resnet34", out_ch=32),
+        ref_trainhead.NeRFHead(
+            in_feat_ch=32, n_smpl=6890, code_dim=16, attn_n_heads=4,
+            spconv_n_layers=4, spconv_out_dim=[32, 32, 32, 32],
+            use_rgbhead=True,
+        ),
+    ).eval()
+    xyzc_net = model.nerfhead.sigmahead.xyzc_net
+    # non-trivial BN affine + running stats (init values are identity)
+    with torch.no_grad():
+        for m in xyzc_net.modules():
+            if isinstance(m, nn.BatchNorm1d):
+                m.weight.copy_(1.0 + 0.3 * torch.randn_like(m.weight))
+                m.bias.copy_(0.1 * torch.randn_like(m.bias))
+                m.running_mean.copy_(0.05 * torch.randn_like(m.running_mean))
+                m.running_var.copy_(0.5 + 0.5 * torch.rand_like(m.running_var))
+    loaded = torch_state_to_variables(
+        dict(model.state_dict()), variables, n_layers=4
+    )
+
+    # a random deduplicated active set in a 32^3 grid (32-aligned out_sh
+    # like the dataset's, small enough for CPU dense convs)
+    rs = np.random.RandomState(0)
+    D = H = W = 32
+    coords = np.unique(
+        rs.randint(2, 30, size=(400, 3)).astype(np.int32), axis=0
+    )
+    N = len(coords)
+    code_dim = 16
+    fused = (rs.randn(6890, code_dim) * 0.5).astype(np.float32)
+    vert_ids = rs.randint(0, 6890, size=(N,)).astype(np.int32)
+    code_rows = fused[vert_ids]
+
+    # --- our side: real pipeline (host-free fallback pyramid) ---
+    from gpnerf_tpu.models.sparse_net import build_grid_pyramid, occupancy_volume
+    from gpnerf_tpu.ops.sparse_conv import derive_level_tables
+
+    CAP = 512
+    coords_pad = np.full((CAP, 3), max(D, H, W), np.int32)
+    coords_pad[:N] = coords
+    valid = jnp.arange(CAP) < N
+    # level caps = full level grid sizes (16^3, 8^3, 4^3, 2^3): a scattered
+    # random cloud activates many strided sites; full-size caps can't
+    # overflow
+    grids, ov = build_grid_pyramid(
+        jnp.asarray(coords_pad), valid, (D, H, W), [4096, 512, 64, 8]
+    )
+    assert int(np.asarray(ov).max()) == 0
+    levels = derive_level_tables(grids)
+    vrows = np.full((CAP,), -1, np.int32)
+    vrows[:N] = vert_ids
+    level_feats = render.nerfhead.apply(
+        loaded["head"], jnp.asarray(fused), jnp.asarray(vrows), levels,
+        method=lambda m, *a: m.sigmahead.volume_features(*a, train=False),
+    )
+    dense_vols = render.materialize_dense(level_feats, levels)
+
+    out_sh = np.asarray([D, H, W], np.int32)
+    P = 1500
+    dhw = (rs.rand(P, 3) * (out_sh - 1)).astype(np.float32)
+    sigma_feat_ours = render.nerfhead.apply(
+        loaded["head"], dense_vols, jnp.asarray(dhw), jnp.asarray(out_sh),
+        method=lambda m, *a: m.sigmahead.query_sigma_feat_dense(*a),
+    )  # (P, 64)
+
+    # --- torch side: dense emulation of spconv ---
+    with torch.no_grad():
+        vols_t, masks_t = _emulate_sparse_stack_dense_torch(
+            xyzc_net, code_rows, coords, (D, H, W)
+        )
+
+    # (a) per-level volume parity (active sets AND values)
+    for i, (vt, lv) in enumerate(zip(vols_t, levels[1:])):
+        ours = np.zeros(vt.shape[2:] + (vt.shape[1],), np.float32)
+        cj = np.asarray(lv.coords)
+        vj = np.asarray(lv.valid)
+        ours[cj[vj, 0], cj[vj, 1], cj[vj, 2]] = np.asarray(level_feats[i])[vj]
+        theirs = vt[0].permute(1, 2, 3, 0).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"level {i}")
+
+    # (b) multi-scale query + sigma_feat parity (the checkpoint-critical
+    # path: get_grid_coords normalization, BaseRender.py:62-73, + the
+    # Linear(128, 64) + ELU of trainhead.py:39-40)
+    with torch.no_grad():
+        grid = torch.from_numpy(
+            (dhw / out_sh * 2.0 - 1.0)[:, ::-1].astype(np.float32)
+        ).view(1, P, 1, 1, 3)  # dhw -> whd order (get_grid_coords :72)
+        feats_t = [
+            F.grid_sample(v, grid, padding_mode="zeros", align_corners=True)
+            .view(v.shape[1], P)
+            .T
+            for v in vols_t
+        ]
+        sigma_feat_t = model.nerfhead.sigmahead.out_geometry_fc(
+            torch.cat(feats_t, dim=1)
+        ).numpy()
+    np.testing.assert_allclose(
+        np.asarray(sigma_feat_ours), sigma_feat_t, rtol=1e-4, atol=1e-4
+    )
+
+    # (c) occupancy field parity (SparseConvNet.encode masks3d,
+    # SparseConvNet.py:136-141: channel sums, nearest-interpolate to the
+    # level-1 shape, summed) — the reference-cull-semantics anchor
+    with torch.no_grad():
+        m3d = sum(
+            F.interpolate(v.sum(dim=1, keepdim=True), vols_t[0].shape[2:])
+            for v in vols_t
+        )[0, 0].numpy()
+    ours_m3d = np.asarray(occupancy_volume(level_feats, levels))
+    np.testing.assert_allclose(ours_m3d, m3d, rtol=1e-3, atol=1e-3)
 
 
 def test_spconv_weight_shapes_match_reference_tree(ref_model, our_variables):
