@@ -238,9 +238,11 @@ class Renderer(BaseRenderer):
         (S,)-row gather per ray. Bin indices use the SAME per-pixel
         near/far (ray/AABB slab, camera-z parameterization) as the ray
         stage, so a marked bin is exactly a 64-grid sample inside the
-        voxel's depth extent (+- bin_margin). Returns (Himg*Wimg, S) u8,
-        4-neighborhood-dilated in the pixel plane (the same dilation the
-        pixmask gets — splat granularity can exceed 1 px at close range)."""
+        voxel's depth extent (+- bin_margin). Returns bit-PACKED rows
+        (Himg*Wimg, ceil(S/32)) uint32 — bin b lives in word b//32, bit
+        b%32; unpack gathered per-ray rows with `_unpack_bins` — dilated
+        over the pixel quad + 1 px (the same dilation the pixmask gets:
+        splat granularity can exceed 1 px at close range)."""
         S = self.n_samples
         tp = batch["target_pose"]
         depth = pts_w @ tp[2, :3] + tp[2, 3]  # camera z == ray t-parameter
