@@ -370,7 +370,7 @@ class FlatOctetTable(NamedTuple):
     shape: Tuple[int, int, int]
 
 
-def build_octet_table_scatter(feats, coords, valid, shape):
+def build_octet_table_scatter(feats, coords, valid, shape, pack_words=False):
     """Corner-scatter octet build for a SPARSE level.
 
     The level-1 feature volume has only CAP (~16.9k) active sites; the
@@ -398,14 +398,14 @@ def build_octet_table_scatter(feats, coords, valid, shape):
     D, H, W = shape
     Dp, Hp, Wp = D + 1, H + 1, W + 1
     R = Dp * Hp * Wp
-    # u8 rows scatter as u32 WORDS: the add never carries across bytes
-    # (each (row, corner-block) is written by at most one site; the other
-    # updates hold zeros there), the scattered element count drops 4x (the
-    # u8 scatter-add is a sub-word RMW), and the u8 view of the result is a
-    # pure bitcast — u32{1,0:T(8,128)} and u8{1,0:T(8,128)(4,1)} tile to
-    # the same physical bytes. Measured 3.3 -> ~1.5 ms on the 891k-row
-    # level-1 table.
-    packed = feats.dtype == jnp.uint8 and C % 4 == 0
+    # pack_words: scatter u8 rows as u32 WORDS (the add never carries across
+    # bytes — each (row, corner-block) is written by at most one site). This
+    # quarters the scattered element count and won under the round-3 XLA
+    # (3.3 -> 1.5 ms) where the u32->u8 view back was a free bitcast; the
+    # CURRENT compiler materializes that bitcast as ~11 ms of broadcast +
+    # layout copies over the 228 MB table, so the default is the direct u8
+    # scatter-add (sub-word RMW, ~3 ms, no post-pass).
+    packed = pack_words and feats.dtype == jnp.uint8 and C % 4 == 0
     if packed:
         Cw = C // 4
         rows_in = jax.lax.bitcast_convert_type(
