@@ -315,6 +315,7 @@ class Trainer:
         os.makedirs(result_path, exist_ok=True)
         total_time = 0.0
         total_etime = 0.0
+        overflow_rows = []
         is_demo = hasattr(self.render, "render_demo_fn")
         render_fn = (
             self.render.render_demo_fn()
@@ -364,11 +365,26 @@ class Trainer:
 
                 imwrite(f"{result_path}/{count}.jpg", vis)
             self.evaluator.evaluate(ret, data)
+            if "overflows" in ret:
+                overflow_rows.append(np.asarray(ret["overflows"]))
             total_time += rtime
             count += 1
         metrics = None
         if self.cfg.head.rgb.use_rgbhead:
             metrics = self.evaluator.summarize()
+        if overflow_rows:
+            # static-capacity drop counters, per evaluation run: the
+            # reference never drops points (SURVEY §2.4); ray/sigma/rgb
+            # hard-cap overflows must be 0, per-ray-K drops are the
+            # designed graceful path whose quality budget is guarded by
+            # tests/test_demo_consistency.py::test_perray_k_drop_budget
+            ov = np.stack(overflow_rows)
+            print(
+                "overflows(ray,perrayK,sigma,rgb): max="
+                f"{ov.max(axis=0).tolist()} mean={ov.mean(axis=0).tolist()}"
+            )
+            if metrics is not None:
+                metrics["overflows_max"] = ov.max(axis=0).tolist()
         avg = total_time / max(count, 1)
         if is_demo:
             print(

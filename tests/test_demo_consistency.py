@@ -107,3 +107,69 @@ def test_demo_matches_base_on_covered_pixels():
             view,
             float((diff.max(axis=-1) < 0.1).mean()),
         )
+
+
+@pytest.mark.slow
+def test_perray_k_drop_budget():
+    """VERDICT r3 #7: a FAILING TEST (not a ledger row) guards the per-ray
+    K-slot drop deviation — the reference never drops occupancy survivors
+    (SURVEY §2.4); we keep the nearest K per ray. Renders fixture frames at
+    the SHIPPED K against a drop-free K=64 render of the identical frames
+    and asserts the PSNR cost stays inside the committed budget."""
+    cfg0 = _cfg.clone()
+    cfg0.defrost()
+    cfg0.merge_from_file("configs/synthetic.yaml")
+    cfg0.dataset.H = 128
+    cfg0.dataset.W = 128
+    cfg0.head.sigma.code_dim = 32
+    cfg0.render.file = "demo_render"
+    cfg0.dataset.test.sampler = "FrameSampler"
+    cfg0.tpu.matmul_dtype = "float32"
+    cfg0.tpu.ray_cap = 16384
+    cfg0.tpu.eval_ray_cap = 16384
+    cfg0.tpu.eval_chunk = 4096
+
+    def psnrs(overrides, n_frames=2):
+        cfg = cfg0.clone()
+        cfg.merge_from_list(overrides)
+        cfg.freeze()
+        np.random.seed(0)
+        random.seed(0)
+        ds = get("dataset", cfg.dataset.test.file)(cfg, is_train=False)
+        render = get("render", "demo_render")(cfg)
+        from gpnerf_tpu.train.checkpoint import load_eval_model
+        from gpnerf_tpu.train.evaluator import Evaluator
+
+        b0 = ds[0]
+        variables = render.init_variables(jax.random.PRNGKey(0), b0)
+        variables = load_eval_model(CKPT, variables, cfg.head.sigma.n_layers)
+        fn = render.render_demo_fn()
+        ev = Evaluator(cfg, "drop_budget")
+        drops = []
+        from gpnerf_tpu.render.demo import pred_img_hwc
+
+        for i in range(n_frames):
+            np.random.seed(i)
+            random.seed(i)
+            b = ds[i]
+            ret = fn(variables, {k: jnp.asarray(v) for k, v in b.items()})
+            ov = np.asarray(ret["overflows"])
+            assert ov[0] == 0 and ov[2] == 0 and ov[3] == 0, ov.tolist()
+            drops.append(int(ov[1]))
+            ev.evaluate({"pred_img": pred_img_hwc(ret)}, b)
+        return np.asarray(ev.psnr), drops
+
+    # shipped per-ray cap (synthetic.yaml defaults: K=13 with splat bins)
+    psnr_k, drops_k = psnrs([])
+    # drop-free anchor: K = all 64 samples, caps sized for zero drops
+    psnr_full, drops_full = psnrs(
+        ["tpu.samples_per_ray", "64", "tpu.sigma_cap", "1048576"]
+    )
+    assert sum(drops_full) == 0, drops_full
+    # the stressed frames must actually exercise the drop path — otherwise
+    # this gate silently tests nothing (close-up poses showed ~3x demand)
+    assert sum(drops_k) > 0, drops_k
+    delta = float(np.mean(psnr_full) - np.mean(psnr_k))
+    # committed budget: -0.125 dB on the full 512^2 sweep (PROGRESS.md
+    # quality ledger); 0.3 dB headroom covers the 128^2 fixture's noise
+    assert delta < 0.3, (delta, float(np.mean(psnr_k)), float(np.mean(psnr_full)))
