@@ -106,8 +106,11 @@ def main():
 
     import os
 
-    ckpt_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "artifacts", "bench_ckpt.pth")
+    ckpt_path = os.environ.get(
+        "BENCH_CKPT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "artifacts", "bench_ckpt.pth"),
+    )
     if os.path.exists(ckpt_path):
         # trained weights: realistic occupancy field -> realistic culling
         from gpnerf_tpu.train.checkpoint import load_eval_model

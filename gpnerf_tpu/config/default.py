@@ -221,6 +221,11 @@ cfg.tpu.proj_vp_order = False
 # TPU backend only; measured 43.6 -> 41.4 ms/frame (XLA re-tiled the int8
 # gather output twice before its fused weighted sum)
 cfg.tpu.pallas_lerp = True
+# fused point-stage megakernel: projection quad-lerp + multi-view mean/var +
+# sigma-feat linear + density MLP + color MLP + masks in ONE Pallas kernel
+# (ops/pallas_point.py); supersedes pallas_lerp on the demo hot path. TPU
+# backend only; the XLA op-by-op path remains for CPU/tests/profiling.
+cfg.tpu.pallas_point = True
 # int8-quantize the merged [rgb|feat] projection table (per-channel
 # symmetric scales, dequantized after the bilinear sum): halves the bytes
 # of the largest per-point gather and its (P, V, C) relayout. Only applies

@@ -1,0 +1,279 @@
+"""Pallas TPU megakernel for the per-point stages of the progressive
+renderer (VERDICT r3 #2 / BASELINE.json north star: "trilinear gather +
+multi-view aggregation + density/color MLP heads ... fuse into a single
+per-ray-chunk Pallas kernel").
+
+One kernel consumes, per point block:
+  * the RAW int8 projection gather rows (3 views x 4 bilinear taps packed
+    per row) + tap weights — the quad-lerp of ops/pallas_lerp.py;
+  * the multi-scale geometry features (P, 128) from the octet-table query
+    (gathers stay in XLA — its gather engine beats per-row DMA);
+  * every MLP weight of the heads (sigma-feat linear, density MLP, color
+    base/vis/rgb MLPs — /root/reference/libs/nerfheads/trainhead.py:27-145),
+
+and emits the f32 per-point `alpha` (already sigma-masked) and the
+alpha-culled rgb — the only two tensors the composite needs. Everything in
+between (rgb_feat, mean/var, sigma_feat, 10 MLP activations: ~15 of the
+pipeline's intermediate HBM tensors and the XLA op tail around them) lives
+in VMEM registers only.
+
+Layout: channel-major (C, B) inside the kernel — per-point scalars
+broadcast over channel sublanes for free, MLPs are (Cout, Cin) x (Cin, B)
+MXU contractions with points on the 128-lane axis (the orientation every
+stage downstream wants). The two row-major gather inputs cross into
+channel-major via constant one-hot selector contractions (rows, (B, 4C))
+and an identity-matrix MXU transpose ((B, 128) feats) — both fold the
+relayout into MXU time instead of VMEM copies. Non-8-aligned channel
+concats (35-channel mean/var blocks) are padded to 40 rows with zeros and
+the corresponding MLP weight matrices are re-packed with zero columns at
+trace time (`_pack_cols`), so every sublane concat in the kernel is
+tile-aligned.
+
+Numerics: dot inputs are bf16 (the pipeline's compute dtype), accumulation
+and activations are f32 — strictly tighter than the XLA path's bf16
+activation chain. Masking matches heads.py/demo.py exactly: sigma is
+zeroed where num_valid_obs < 1 (trainhead.py:136-137) and where the
+sample is culled (sig_ok); rgb is zeroed where alpha <= 1e-14 (the
+reference's alpha cull, demo_render.py:316-326).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad8(n):
+    return -(-n // 8) * 8
+
+
+def _pack_cols(kernel, blocks):
+    """Re-pack a flax Dense kernel (Cin, Cout) into (Cout, Cin_padded) with
+    each input block padded to a multiple of 8 rows (zero columns), so the
+    kernel-side channel concat is sublane-aligned. `blocks`: list of block
+    widths summing to Cin."""
+    w = kernel.T  # (Cout, Cin)
+    parts = []
+    off = 0
+    for b in blocks:
+        seg = w[:, off : off + b]
+        pad = _pad8(b) - b
+        if pad:
+            seg = jnp.pad(seg, ((0, 0), (0, pad)))
+        parts.append(seg)
+        off += b
+    return jnp.concatenate(parts, axis=1)
+
+
+def pack_head_weights(head_params, C):
+    """Flatten the head MLP params into the kernel's (Cout, Cin) f32 list.
+    `head_params`: variables["head"]["params"]; C = 3 + in_feat_ch (35)."""
+    sh = head_params["sigmahead"]["out_geometry_fc"]["dense_0"]
+    rh = head_params["rgbhead"]
+
+    def wb(tree, packed=None):
+        k = tree["kernel"]
+        w = packed if packed is not None else k.T
+        return (
+            w.astype(jnp.float32),
+            tree["bias"].reshape(-1, 1).astype(jnp.float32),
+        )
+
+    d = rh["out_geometry_fc"]
+    b = rh["base_fc"]
+    v = rh["vis_fc"]
+    r = rh["rgb_fc"]
+    ws = []
+    ws += wb(sh)  # W_sf (64, 128)
+    ws += wb(d["dense_0"], _pack_cols(d["dense_0"]["kernel"], [64, C, C]))
+    ws += wb(d["dense_1"])
+    ws += wb(d["dense_2"])
+    ws += wb(d["dense_3"])
+    ws += wb(b["dense_0"], _pack_cols(b["dense_0"]["kernel"], [C, C, C]))
+    ws += wb(b["dense_1"])
+    ws += wb(v["dense_0"])
+    ws += wb(v["dense_1"])
+    ws += wb(r["dense_0"])
+    ws += wb(r["dense_1"])
+    ws += wb(r["dense_2"])
+    return ws
+
+
+def _dot(w_ref, x, out_f32=True):
+    """(Cout, Cin) x (Cin, B) MXU contraction, bf16 in, f32 accumulate."""
+    return jax.lax.dot_general(
+        w_ref[:].astype(jnp.bfloat16),
+        x.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _point_kernel(rows_ref, w4_ref, pscale_ref, feats_ref, vmask_ref,
+                  sig_ok_ref,
+                  w_sf, b_sf, w_d0, b_d0, w_d1, b_d1, w_d2, b_d2, w_d3,
+                  b_d3, w_b0, b_b0, w_b1, b_b1, w_v0, b_v0, w_v1, b_v1,
+                  w_r0, b_r0, w_r1, b_r1, w_r2, b_r2,
+                  alpha_ref, rgb_ref, *, C: int, V: int, F: int):
+    B = feats_ref.shape[0]
+
+    def elu(x):
+        # jax.nn.elu lowers through expm1 (no Mosaic TPU rule); exp-1 is
+        # equivalent at these magnitudes (bf16 dot outputs, |x| >> 1e-8)
+        return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+    Cp = _pad8(C)
+    zpadC = jnp.zeros((Cp - C, B), jnp.float32)
+
+    # ---- projection quad-lerp per view (ops/pallas_lerp.py semantics) ----
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (C, 4 * C), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (C, 4 * C), 1)
+    rgbfeat = []
+    for v in range(V):
+        tmp = rows_ref[v].astype(jnp.bfloat16)  # (B, 4C)
+        acc = jnp.zeros((C, B), jnp.float32)
+        for k in range(4):
+            sel = (col_i == k * C + row_i).astype(jnp.bfloat16)
+            d = jax.lax.dot_general(
+                sel, tmp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (C, B)
+            acc = acc + d * w4_ref[v, k, :][None, :]
+        rgbfeat.append(acc * pscale_ref[:])  # (C, B) f32, dequantized
+
+    # ---- multi-view mean/variance (trainhead.py:20-24, over ALL views) ----
+    mean = rgbfeat[0]
+    for v in range(1, V):
+        mean = mean + rgbfeat[v]
+    mean = mean / float(V)
+    var = jnp.zeros_like(mean)
+    for v in range(V):
+        var = var + (rgbfeat[v] - mean) ** 2
+    var = var / float(V)
+
+    # ---- geometry feats -> channel-major via identity-MXU transpose ----
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (F, F), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (F, F), 1)
+    ).astype(jnp.bfloat16)
+    fT = jax.lax.dot_general(
+        eye, feats_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (F, B)
+    sigma_feat = elu(_dot(w_sf, fT) + b_sf[:])  # (64, B)
+
+    # ---- density MLP (trainhead.py:102-110,133-137) ----
+    xd = jnp.concatenate(
+        [sigma_feat, mean, zpadC, var, zpadC], axis=0
+    )  # (64 + 2*Cp, B)
+    h = elu(_dot(w_d0, xd) + b_d0[:])
+    h = elu(_dot(w_d1, h) + b_d1[:])
+    h = elu(_dot(w_d2, h) + b_d2[:])
+    sigma = jnp.maximum(_dot(w_d3, h) + b_d3[:], 0.0)  # (1, B)
+    nv = vmask_ref[0, :][None, :]
+    for v in range(1, V):
+        nv = nv + vmask_ref[v, :][None, :]
+    sig_ok = sig_ok_ref[:]  # (1, B) f32 0/1
+    sigma = jnp.where((nv < 1.0) | (sig_ok < 0.5), 0.0, sigma)
+    alpha = 1.0 - jnp.exp(-sigma)  # (1, B)
+    alpha_ref[:] = alpha
+
+    # ---- color MLP (trainhead.py:96-100,139-143) ----
+    hs = []
+    for v in range(V):
+        xc = jnp.concatenate(
+            [mean, zpadC, var, zpadC, rgbfeat[v], zpadC], axis=0
+        )  # (3*Cp, B)
+        hv = elu(_dot(w_b0, xc) + b_b0[:])
+        hv = elu(_dot(w_b1, hv) + b_b1[:])
+        h2 = elu(_dot(w_v0, hv / float(V)) + b_v0[:])
+        h2 = elu(_dot(w_v1, h2) + b_v1[:])
+        hs.append(hv + h2)
+    hc = jnp.concatenate(hs, axis=0)  # (V*32, B)
+    r = elu(_dot(w_r0, hc) + b_r0[:])
+    r = elu(_dot(w_r1, r) + b_r1[:])
+    rgb = jax.nn.sigmoid(_dot(w_r2, r) + b_r2[:])  # (3, B)
+    alive = (alpha > 1e-14) & (sig_ok > 0.5)
+    rgb_ref[:] = jnp.where(alive, rgb, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret")
+)
+def fused_point_stages(proj_rows, w4, proj_scale, feats, vmask, sig_ok,
+                       weights, *, block=512, interpret=False):
+    """Run the fused per-point head kernel.
+
+    Args:
+      proj_rows: (V*P, 4C) int8/other — merged [rgb|feat] quad-gather rows,
+        view-major (view v rows at [v*P:(v+1)*P]).
+      w4: (V, 4, P) f32 tap weights (in-bounds folded).
+      proj_scale: (C,) f32 dequant factors (ones if unquantized).
+      feats: (P, F) multi-scale geometry features (octet query output).
+      vmask: (V, P) f32 view validity (in-front & in-bounds).
+      sig_ok: (P,) bool/f32 sample-cull mask.
+      weights: list from pack_head_weights.
+    Returns (alpha (P,) f32 [sigma-masked], rgb (P, 3) f32 [alpha-culled]).
+    """
+    V, _, P = w4.shape
+    C4 = proj_rows.shape[-1]
+    C = C4 // 4
+    F = feats.shape[-1]
+    pad = (-P) % block
+    if pad:
+        proj_rows = jnp.pad(
+            proj_rows.reshape(V, P, C4), ((0, 0), (0, pad), (0, 0))
+        ).reshape(V * (P + pad), C4)
+        w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, pad)))
+        feats = jnp.pad(feats, ((0, pad), (0, 0)))
+        vmask = jnp.pad(vmask, ((0, 0), (0, pad)))
+        sig_ok = jnp.pad(sig_ok.astype(jnp.float32), ((0, pad),))
+    Pp = P + pad
+    nb = Pp // block
+    rows_v = proj_rows.reshape(V, Pp, C4)
+    wspecs = [
+        pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+    alpha, rgb = pl.pallas_call(
+        functools.partial(_point_kernel, C=C, V=V, F=F),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((V, block, C4), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, 4, block), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, F), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        + wspecs,
+        out_specs=(
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Pp), jnp.float32),
+            jax.ShapeDtypeStruct((3, Pp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        rows_v,
+        w4,
+        proj_scale.reshape(C, 1).astype(jnp.float32),
+        feats,
+        vmask.astype(jnp.float32),
+        sig_ok.astype(jnp.float32).reshape(1, Pp),
+        *weights,
+    )
+    return alpha[0, :P], rgb[:, :P].T

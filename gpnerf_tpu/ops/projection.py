@@ -147,6 +147,59 @@ def project_and_gather_quad_merged(xyz, KE, srcfeat_quad, h, w, *,
     return rgb_feat, mask.transpose(1, 0)
 
 
+def project_gather_rows_merged(xyz, KE, srcfeat_quad, h, w, *, neg_ray=False):
+    """Gather-only half of `project_and_gather_quad_merged` for the fused
+    point-stage kernel (ops/pallas_point.py): returns the RAW quad rows in
+    view-major order plus the tap weights and view mask — the weighted sum,
+    dequantization and everything downstream happen inside the kernel.
+
+    Returns:
+      rows: (V*P, 4C) table dtype, view-major (view v at [v*P:(v+1)*P]).
+      w4: (V, 4, P) f32 bilinear tap weights with in-bounds folded.
+      vmask: (V, P) f32 validity (in-bounds & in-front).
+    """
+    V = srcfeat_quad.shape[0]
+    C4 = srcfeat_quad.shape[-1]
+    pixel, in_front = compute_projections(xyz, KE, neg_ray=neg_ray)
+    norm_pix = normalize_pixels(pixel, h, w)
+    ht = srcfeat_quad.shape[1] - 1
+    wt = srcfeat_quad.shape[2] - 1
+    from gpnerf_tpu.ops.grid_sample import _unnormalize
+
+    x = _unnormalize(norm_pix[..., 0], wt)
+    y = _unnormalize(norm_pix[..., 1], ht)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = (x - x0).astype(jnp.float32)
+    wy1 = (y - y0).astype(jnp.float32)
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    xi = x0.astype(jnp.int32)
+    yi = y0.astype(jnp.int32)
+    xc = jnp.clip(xi, -1, wt - 1) + 1
+    yc = jnp.clip(yi, -1, ht - 1) + 1
+    stride = (ht + 1) * (wt + 1)
+    voff = jnp.arange(V, dtype=jnp.int32)[:, None] * stride
+    idx_vp = yc * (wt + 1) + xc + voff  # (V, P)
+    rows = srcfeat_quad.reshape(V * stride, C4)[idx_vp.reshape(-1)]
+
+    def tapw(xi_, yi_, wgt):
+        inb = (xi_ >= 0) & (xi_ <= wt - 1) & (yi_ >= 0) & (yi_ <= ht - 1)
+        return wgt * inb.astype(jnp.float32)
+
+    w4 = jnp.stack(
+        [
+            tapw(xi, yi, wx0 * wy0),
+            tapw(xi + 1, yi, wx1 * wy0),
+            tapw(xi, yi + 1, wx0 * wy1),
+            tapw(xi + 1, yi + 1, wx1 * wy1),
+        ],
+        axis=1,
+    )  # (V, 4, P)
+    vmask = (inbound_mask(pixel, h, w) & in_front).astype(jnp.float32)
+    return rows, w4, vmask
+
+
 def gather_smpl_features(smpl_xyz, KE, featmaps, h, w, *, neg_ray=False):
     """Per-SMPL-vertex multi-view feature gather
     (`Projector.compute` smpl branch, BaseRender.py:341-346 /

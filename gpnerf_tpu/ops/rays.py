@@ -71,10 +71,21 @@ def pixel_rays(xy1, K_inv, R, T):
 def ray_aabb_near_far(rays_o, rays_d, bounds, *, neg_ray=False, eps=1e-6):
     """Slab intersection of rays with an AABB (demo_render.py:212-239).
 
+    Signs follow the HOST path's semantics (data_utils.get_near_far:96-130,
+    also used by BaseRender training batches): both intersection distances
+    carry the sign of the first hit's direction, so backward (neg_ray /
+    THuman) rays get the correct negative [near, far] span. This is a
+    DOCUMENTED deviation from demo_render.py:236-237, which negates only
+    d1 — yielding a [−|d1|, +|d0|] span that straddles the camera and
+    under-samples the body; that code path is dead in the reference (the
+    published protocols evaluate the demo renderer on ZJU only, test.sh)
+    and its host-side twin uses the correct signs.
+
     Args:
       rays_o, rays_d: (P, 3) (rays_d un-normalized).
       bounds: (2, 3) [[min_xyz], [max_xyz]].
-      neg_ray: THuman sign flip on d1 (demo_render.py:236-237).
+      neg_ray: accepted for API compatibility; the signed form above
+        subsumes it (kept so call sites document their parameterization).
 
     Returns:
       near, far: (P,) in units of ||rays_d|| (garbage where invalid),
@@ -101,10 +112,11 @@ def ray_aabb_near_far(rays_o, rays_d, bounds, *, neg_ray=False, eps=1e-6):
     second = jnp.take_along_axis(p_intersect, order[:, 1:2, None], axis=1)[:, 0]
 
     norm_ray = jnp.linalg.norm(rays_d, axis=-1)
-    d0 = jnp.linalg.norm(first - rays_o, axis=-1) / norm_ray
-    d1 = jnp.linalg.norm(second - rays_o, axis=-1) / norm_ray
-    if neg_ray:
-        d1 = -d1
+    sgn = jnp.where(
+        jnp.sum((first - rays_o) * rays_d, axis=-1) < 0.0, -1.0, 1.0
+    )
+    d0 = jnp.linalg.norm(first - rays_o, axis=-1) / norm_ray * sgn
+    d1 = jnp.linalg.norm(second - rays_o, axis=-1) / norm_ray * sgn
     near = jnp.minimum(d0, d1)
     far = jnp.maximum(d0, d1)
     return near, far, mask_at_box

@@ -102,7 +102,7 @@ class Renderer(BaseRenderer):
                  window_margin_voxels=6.0, splat_bins=False,
                  bin_margin_voxels=2.0, quantize_proj=False,
                  pack_octet_u32=False, proj_vp_order=False,
-                 pallas_lerp=False, **kwargs):
+                 pallas_lerp=False, pallas_point=False, **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
@@ -182,6 +182,10 @@ class Renderer(BaseRenderer):
         # fused Pallas projection weighted-sum (TPU backend only; the JAX
         # path is used elsewhere and under tests)
         self.pallas_lerp = bool(pallas_lerp)
+        # fused point-stage megakernel (quad-lerp + mean/var + all MLP
+        # heads + masks in ONE Pallas kernel; ops/pallas_point.py).
+        # Supersedes pallas_lerp on the demo path when set.
+        self.pallas_point = bool(pallas_point)
         self._demo_jit = None
         self._encoder_jit = None
         self._last_etime = 0.0
@@ -214,7 +218,12 @@ class Renderer(BaseRenderer):
         tK = batch["target_K"]
         cam = pts_w @ tp[:, :3].T + tp[:, 3]
         pix = cam @ tK.T
-        xy = pix[:, :2] / jnp.maximum(pix[:, 2:3], 1e-9)
+        # sign-preserving depth guard: neg_ray targets (THuman) put scene
+        # points at NEGATIVE camera z and compensate in K — clamping to
+        # +1e-9 would blow up every projection there
+        z = pix[:, 2:3]
+        z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        xy = pix[:, :2] / z
         minx = jnp.clip(jnp.floor(xy[:, 0]).astype(jnp.int32), 0, Wimg - 1)
         miny = jnp.clip(jnp.floor(xy[:, 1]).astype(jnp.int32), 0, Himg - 1)
         maxx = jnp.clip(minx + 1, 0, Wimg - 1)
@@ -238,11 +247,10 @@ class Renderer(BaseRenderer):
         (S,)-row gather per ray. Bin indices use the SAME per-pixel
         near/far (ray/AABB slab, camera-z parameterization) as the ray
         stage, so a marked bin is exactly a 64-grid sample inside the
-        voxel's depth extent (+- bin_margin). Returns bit-PACKED rows
-        (Himg*Wimg, ceil(S/32)) uint32 — bin b lives in word b//32, bit
-        b%32; unpack gathered per-ray rows with `_unpack_bins` — dilated
-        over the pixel quad + 1 px (the same dilation the pixmask gets:
-        splat granularity can exceed 1 px at close range)."""
+        voxel's depth extent (+- bin_margin). Returns (Himg*Wimg, S) u8
+        rows, dilated over the pixel quad + 1 px (the same dilation the
+        pixmask gets: splat granularity can exceed 1 px at close range);
+        per-ray rows gather directly."""
         S = self.n_samples
         tp = batch["target_pose"]
         depth = pts_w @ tp[2, :3] + tp[2, 3]  # camera z == ray t-parameter
@@ -270,33 +278,17 @@ class Renderer(BaseRenderer):
         tgt = jnp.where(ok, pix * S + jnp.clip(b0, 0, S - 1), oob)
         binimg = binimg.at[tgt].set(1, mode="drop")
         bi = binimg.reshape(Himg, Wimg, S)
-        # BIT-PACK the bin axis (u32 words, bin b -> word b//32 bit b%32):
-        # the depth-fill and pixel-dilation OR passes each stream the whole
-        # bin image, and at u8[512,512,64] that was 16.7 MB x ~12 passes
-        # (~1.1 ms/frame); packed they run on 1/8 the bytes. One pack pass
-        # reads the u8 scatter output once; per-ray rows gather as 8-byte
-        # words and unpack AFTER the (ray_cap,)-row gather (_unpack_bins).
-        S32 = -(-S // 32) * 32
-        if S32 != S:
-            bi = jnp.pad(bi, ((0, 0), (0, 0), (0, S32 - S)))
-        bits8 = (
-            (bi.reshape(Himg, Wimg, S32 // 8, 8)
-             * (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)))
-            .sum(axis=-1, dtype=jnp.uint8)
-        )  # disjoint bits: sum == OR
-        w = jax.lax.bitcast_convert_type(
-            bits8.reshape(Himg, Wimg, S32 // 32, 4), jnp.uint32
-        )  # (H, W, words); HLO bitcast is little-endian (low index = low bits)
+        # UNPACKED u8 dilation. (A bit-packed u32 form — pack the bin axis,
+        # shift with cross-word carries, unpack after the per-ray gather —
+        # ran the OR passes on 1/8 the bytes and won under the round-3
+        # compiler; the current XLA materializes its byte-pack
+        # multiply-reduce + bitcast as ~9 ms of lane-padded copies, while
+        # these whole-image u8 ORs are ~0.1 ms/pass. See git history.)
         # depth fill: marks at b0+j, j=1..5 — the same static span the old
-        # j-loop covered (2*rad + rounding at any dz); packed shift-left
-        # with cross-word carry
-        acc = w
+        # per-index j-loop covered (2*rad + rounding at any dz)
+        acc = bi
         for j in (1, 2, 3, 4, 5):
-            carry = jnp.concatenate(
-                [jnp.zeros_like(w[..., :1]), w[..., :-1] >> (32 - j)],
-                axis=-1,
-            )
-            acc = acc | (w << j) | carry
+            acc = acc | jnp.pad(bi, ((0, 0), (0, 0), (j, 0)))[:, :, :S]
         # pixel plane: [-1, +2] in x and y covers the splat quad plus the
         # one-pixel dilation (superset of the old quad + 4-neighborhood;
         # looser is conservative — the cull keeps a few more samples).
@@ -308,17 +300,7 @@ class Renderer(BaseRenderer):
         ay = ax
         for j in (-1, 1, 2):
             ay = ay | jnp.roll(ax, j, axis=0)
-        return ay.reshape(Himg * Wimg, S32 // 32)
-
-    @staticmethod
-    def _unpack_bins(binrow, S):
-        """(R, words) u32 packed bin rows -> (R, S) u8 occupancy (bin b =
-        word b//32, bit b%32 — the _splat_bins packing)."""
-        s = jnp.arange(S, dtype=jnp.int32)
-        w_sel = jnp.take(binrow, s // 32, axis=1)  # (R, S) u32
-        return (
-            (w_sel >> (s % 32).astype(jnp.uint32)) & jnp.uint32(1)
-        ).astype(jnp.uint8)
+        return ay.reshape(Himg * Wimg, S)
 
     def _ray_pipeline(self, head_vars, batch, pre, tables, rays_o, rays_d,
                       near, far, ray_ok, zmin=None, bins=None,
@@ -336,6 +318,8 @@ class Renderer(BaseRenderer):
         apply = lambda method, *a, **kw: self.nerfhead.apply(
             head_vars, *a, **kw, method=method
         )
+        tables = dict(tables, head_vars=head_vars)  # for the fused kernel's
+        # trace-time weight packing (pallas_point)
         neg_ray = self.neg_ray_val
         S = self.n_samples
         K = self.samples_per_ray
@@ -370,6 +354,17 @@ class Renderer(BaseRenderer):
         else:
             s_lo = jnp.zeros((nr,), jnp.int32)
         s_lo_f = s_lo.astype(jnp.float32)
+        # TRAVERSAL order: slot/window index w maps to absolute sample
+        # s = s0 + sgn*w such that w ascending is FRONT-TO-BACK along the
+        # ray. Normal rays: ascending t = front-to-back (sgn +1). neg_ray
+        # (THuman, t < 0): ascending t runs BACK-to-front — the reference
+        # flips the sample order in raw2outputs (BaseRender.py:86-88) — so
+        # traversal descends the sample grid (sgn -1 from the window's far
+        # end). The per-ray keep-first-K policy then drops the FARTHEST
+        # (occluded) samples in both conventions, and the (K, R) composite's
+        # shifted cumprod always runs front-to-back.
+        sgn = -1.0 if neg_ray else 1.0
+        s0_f = (s_lo_f + (W - 1)) if neg_ray else s_lo_f
 
         frame_mode = self.frame_mode and use_window
         if frame_mode:
@@ -412,7 +407,10 @@ class Renderer(BaseRenderer):
             # voxel splat-covers (pixel +-1, depth bin +- margin). W == S;
             # no per-sample gathers, no in-volume test (a marked bin
             # implies a real voxel).
-            ok = (bins.T > 0) & ray_ok[None, :]  # (S, R)
+            okS = bins.T > 0  # (S, R), ascending sample index
+            if neg_ray:
+                okS = okS[::-1]  # traversal order: front-to-back
+            ok = okS & ray_ok[None, :]  # (W=S, R)
         else:
             # Equivalent-or-looser single-tap form: one-voxel dilation of
             # the binary occupancy, nearest-neighbor lookup — 1 byte-sized
@@ -422,8 +420,8 @@ class Renderer(BaseRenderer):
             # affinely as (W, R) component planes — no (R*S, 3) point
             # buffers, no trailing length-3 axes.
             tT = (
-                s_lo_f[None, :]
-                + jnp.arange(W, dtype=jnp.float32)[:, None]
+                s0_f[None, :]
+                + sgn * jnp.arange(W, dtype=jnp.float32)[:, None]
             ) / jnp.float32(S - 1)  # (W, R) grid parameter s/(S-1)
             zT = near[None, :] * (1.0 - tT) + far[None, :] * tT  # (W, R)
             Rh = batch["Rh"]
@@ -478,9 +476,9 @@ class Renderer(BaseRenderer):
             # scatters. Masked slots clamp to the last window sample and
             # zero out through sig_ok.
             P = nr * K
-            s_absT = s_lo_f[None, :] + jnp.minimum(slot_relT, W - 1).astype(
-                jnp.float32
-            )  # (K, R)
+            s_absT = s0_f[None, :] + sgn * jnp.minimum(
+                slot_relT, W - 1
+            ).astype(jnp.float32)  # (K, R)
             tT = s_absT / jnp.float32(S - 1)
             zT = near[None, :] * (1.0 - tT) + far[None, :] * tT
             comps = [
@@ -517,7 +515,7 @@ class Renderer(BaseRenderer):
         # broadcast over slots, the slot-dependent absolute sample index
         # folded in on the dense (K, R) frame (a ~12 MB sequential write
         # replaces the previous ray-row + slot-row gather pair)
-        s_absT = s_lo_f[None, :] + jnp.minimum(slot_relT, W - 1).astype(
+        s_absT = s0_f[None, :] + sgn * jnp.minimum(slot_relT, W - 1).astype(
             jnp.float32
         )  # (K, R)
         ray_tab = jnp.concatenate(
@@ -541,6 +539,97 @@ class Renderer(BaseRenderer):
             stop_stage=stop_stage,
         )
 
+    def _point_stages_fused(self, apply, batch, pre, tables, pts_c, dhw_c,
+                            sig_ok, sig_idx_t, perray_overflow, sig_overflow,
+                            K, nr, ray_ok, neg_ray, *, frame_mode,
+                            mask_from_query=None, n_sigma=None):
+        """Megakernel form of _point_stages (ops/pallas_point.py): the
+        octet query + projection gathers stay XLA (its gather engine wins);
+        ONE Pallas kernel runs quad-lerp + mean/var + sigma-feat linear +
+        density MLP + color MLP + masks and emits only the (alpha, rgb)
+        pair the composite needs."""
+        from gpnerf_tpu.ops.pallas_point import (
+            fused_point_stages,
+            pack_head_weights,
+        )
+        from gpnerf_tpu.ops.projection import project_gather_rows_merged
+
+        octet_vols = tables["octet_vols"]
+        octet_scales = tables["octet_scales"]
+        src_quad = tables["src_quad"]
+        out_sh = pre["out_sh"]
+        P = nr * K
+        head_vars = tables["head_vars"]
+
+        # raw multi-scale geometry feats (query_sigma_feat_octet minus the
+        # linear, which moves into the kernel)
+        kw = {} if octet_scales is None else {"scales": octet_scales}
+        if len(octet_vols) == 2:
+            feats = apply(
+                lambda m, *a, **k: m.sigmahead.xyzc_net.query_octet2(*a, **k),
+                octet_vols[0], octet_vols[1], dhw_c, out_sh, **kw,
+            )
+        else:
+            feats = apply(
+                lambda m, *a, **k: m.sigmahead.xyzc_net.query_octet(*a, **k),
+                octet_vols, dhw_c, out_sh, **kw,
+            )  # (P, 128)
+        if mask_from_query is None:
+            mask_from_query = frame_mode
+        if mask_from_query:
+            nch = self.nerfhead.spconv_out_dim[0]
+            occ_l1 = feats[..., :nch].sum(axis=-1)
+            sig_ok = sig_ok & (occ_l1.astype(jnp.float32) > 0)
+
+        Hsrc, Wsrc = batch["src_imgs"].shape[1:3]
+        rows, w4, vmask = project_gather_rows_merged(
+            pts_c, pre["KE"], src_quad, Hsrc, Wsrc, neg_ray=neg_ray
+        )
+        scale = tables.get("proj_scale")
+        if scale is None:
+            scale = jnp.ones((rows.shape[-1] // 4,), jnp.float32)
+        weights = pack_head_weights(head_vars["params"], rows.shape[-1] // 4)
+        alpha, rgb = fused_point_stages(
+            rows, w4, scale, feats, vmask, sig_ok, weights
+        )  # alpha (P,) sigma-masked; rgb (P, 3) alpha-culled
+        alpha_live = alpha > 1e-14  # kernel alpha is 0 wherever culled
+
+        # composite over the slot-major (K, ray) frame — same as the
+        # op-by-op path's stage (8)
+        if frame_mode:
+            alpha_kr = alpha.reshape(K, nr)
+            rgb_chan = [rgb[:, c].reshape(K, nr) for c in range(3)]
+        else:
+            tgt = jnp.where(sig_ok, sig_idx_t, P)
+            rgb_tgt = jnp.where(alpha_live, sig_idx_t, P)
+            alpha_kr = (
+                jnp.zeros((P,)).at[tgt].set(alpha, mode="drop").reshape(K, nr)
+            )
+            rgb_chan = [
+                jnp.zeros((P,)).at[rgb_tgt].set(rgb[:, c], mode="drop")
+                .reshape(K, nr)
+                for c in range(3)
+            ]
+        T = jnp.concatenate(
+            [
+                jnp.ones((1, nr)),
+                jnp.cumprod(1.0 - alpha_kr[:-1] + 1e-10, axis=0),
+            ],
+            axis=0,
+        )
+        weights_kr = alpha_kr * T
+        rgb_map = jnp.stack(
+            [(weights_kr * hc).sum(axis=0) for hc in rgb_chan], axis=-1
+        )
+        rgb_map = jnp.where(ray_ok[:, None], rgb_map, 0.0)
+        stats = {
+            "perray_overflow": perray_overflow,
+            "sig_overflow": sig_overflow,
+            "n_sigma": sig_ok.sum() if n_sigma is None else n_sigma,
+            "n_rgb": alpha_live.sum(),
+        }
+        return rgb_map, stats
+
     def _point_stages(self, apply, batch, pre, tables, pts_c, dhw_c, sig_ok,
                       sig_idx_t, perray_overflow, sig_overflow, K, nr,
                       ray_ok, neg_ray, *, frame_mode, mask_from_query=None,
@@ -555,6 +644,25 @@ class Renderer(BaseRenderer):
         feat_quad = tables["feat_quad"]
         out_sh = pre["out_sh"]
         P = nr * K
+
+        # fused point-stage megakernel (ops/pallas_point.py): projection
+        # quad-lerp + mean/var + sigma-feat linear + density MLP + color MLP
+        # + masks in ONE Pallas kernel; only the gathers and the composite
+        # remain XLA ops. Requires the merged projection table; profiling
+        # prefixes fall back to the op-by-op path.
+        use_fused = (
+            self.pallas_point
+            and jax.default_backend() == "tpu"
+            and feat_quad is None
+            and stop_stage is None
+        )
+        if use_fused:
+            return self._point_stages_fused(
+                apply, batch, pre, tables, pts_c, dhw_c, sig_ok, sig_idx_t,
+                perray_overflow, sig_overflow, K, nr, ray_ok, neg_ray,
+                frame_mode=frame_mode, mask_from_query=mask_from_query,
+                n_sigma=n_sigma,
+            )
 
         # project + gather only for survivors (demo projector.compute :284)
         Hsrc, Wsrc = batch["src_imgs"].shape[1:3]
@@ -1019,10 +1127,8 @@ class Renderer(BaseRenderer):
             # per-sample tap gathers
             binimg = self._splat_bins(
                 pts_w, row_ok, batch, Himg, Wimg, can_bounds, *corners
-            )  # (H*W, words) u32, bit-packed bins
-            bins = self._unpack_bins(
-                binimg[jnp.minimum(pix_idx, oob - 1)], S
-            )  # (ray_cap, S) u8
+            )  # (H*W, S) u8
+            bins = binimg[jnp.minimum(pix_idx, oob - 1)]  # (ray_cap, S) u8
             occb = None
         else:
             bins = None
@@ -1403,6 +1509,7 @@ def build_render(cfg):
         pack_octet_u32=cfg.tpu.pack_octet_u32,
         proj_vp_order=cfg.tpu.proj_vp_order,
         pallas_lerp=cfg.tpu.pallas_lerp,
+        pallas_point=cfg.tpu.pallas_point,
     )
 
 

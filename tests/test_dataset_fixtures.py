@@ -172,20 +172,33 @@ def thuman_root(tmp_path_factory):
 
     multiviews = []
     world, colors, _rv, _Th = _body(0)
+    # THuman's renders store OpenGL-convention cameras — scene points land
+    # at NEGATIVE camera z, which is what makes the dataset neg_ray (rays
+    # from get_rays point behind the scene, t-parameters are negative;
+    # data_utils.py:123-127 sign handling, demo_render.py:236-237). The
+    # OpenCV rig (K, R, T) converts pixel-identically via
+    # F = diag(1, 1, -1):  R' = F R, T' = F T, fx' = -fx, fy' = -fy.
+    F = np.diag([1.0, 1.0, -1.0])
     for c in range(n_cams):
         cdir = root / "cams" / str(c)
         cdir.mkdir(parents=True)
+        Kgl = Ks[c].copy().astype(np.float64)
+        Kgl[0, 0] *= -1.0
+        Kgl[1, 1] *= -1.0
+        Rgl = (F @ Rs[c]).astype(np.float64)
+        Tgl = (F @ Ts[c].reshape(3)).astype(np.float64)
         np.save(
             cdir / "cam.npy",
-            {"K": Ks[c].astype(np.float64), "R": Rs[c].astype(np.float64),
-             "T": Ts[c].reshape(3).astype(np.float64)},
+            {"K": Kgl, "R": Rgl, "T": Tgl},
             allow_pickle=True,
         )
+        # images are pixel-identical under the conversion: render with the
+        # OpenCV-form cameras
         img, msk = splat_render(world, colors, Ks[c], Rs[c], Ts[c], (256, 256))
         imwrite(str(cdir / "rgb.jpg"), (img * 255).astype(np.uint8))
         imwrite(str(cdir / "mask.png"), (msk * 255).astype(np.uint8))
         # SMPL vertices in TARGET-CAMERA coords (CustomDataset.py:247-254)
-        xyz_cam = world @ Rs[c].T + Ts[c].reshape(1, 3)
+        xyz_cam = world @ Rgl.T + Tgl.reshape(1, 3)
         np.save(cdir / "smpl.npy", xyz_cam.astype(np.float32))
         multiviews.append(
             {
@@ -249,3 +262,91 @@ def test_thuman_getitem_end_to_end(thuman_root):
     batch = {k: jnp.asarray(v) for k, v in tb.items()}
     ret, _ = render.render_train(variables, batch, jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(ret["rgb_map"])).all()
+
+
+@pytest.mark.slow
+def test_thuman_demo_matches_base(thuman_root):
+    """Progressive-vs-BaseRender consistency on the NEG-RAY parameterization
+    (THuman, t < 0): the demo pipeline's per-ray slot frame must traverse
+    front-to-back — for neg rays that is DESCENDING sample index (the
+    reference flips the sample order in raw2outputs, BaseRender.py:86-88).
+    Mirrors tests/test_demo_consistency.py for the flipped convention."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+
+    from gpnerf_tpu.config import cfg as _cfg
+    from gpnerf_tpu.registry import get
+
+    cfg = _cfg.clone()
+    cfg.defrost()
+    cfg.merge_from_file("configs/trainthu_valzju.yaml")
+    for split in ("train", "test"):
+        blk = getattr(cfg.dataset, split)
+        blk.data_root = thuman_root
+        blk.name = "thuman"
+        blk.file = "CustomDataset"
+    cfg.dataset.H = 256
+    cfg.dataset.W = 256
+    cfg.dataset.ratio = 0.5  # 256 -> 128
+    cfg.head.sigma.code_dim = 32  # matches the trained bench checkpoint
+    cfg.render.file = "demo_render"
+    cfg.tpu.matmul_dtype = "float32"
+    cfg.tpu.quantize_volume = False
+    cfg.tpu.merge_lowres_src = False
+    cfg.tpu.ray_cap = 16384
+    cfg.tpu.sigma_cap = 262144
+    cfg.tpu.rgb_cap = 131072
+    cfg.tpu.eval_ray_cap = 16384
+    cfg.tpu.eval_chunk = 4096
+    cfg.freeze()
+
+    np.random.seed(0)
+    random.seed(0)
+    ds = get("dataset", "CustomDataset")(cfg, is_train=False)
+    demo = get("render", "demo_render")(cfg)
+    base = get("render", "BaseRender")(cfg)
+    assert demo.neg_ray_val and base.neg_ray_val
+
+    import jax.random as jrandom
+
+    b0 = ds[0]
+    variables = demo.init_variables(jrandom.PRNGKey(0), b0)
+    from gpnerf_tpu.train.checkpoint import load_eval_model
+
+    ckpt = os.path.join(
+        os.path.dirname(__file__), "..", "artifacts", "bench_ckpt.pth"
+    )
+    variables = load_eval_model(ckpt, variables, cfg.head.sigma.n_layers)
+
+    H = W = 128
+    for view in range(2):
+        np.random.seed(view)
+        random.seed(view)
+        b = ds[0]  # one pose; the seeded RNG picks the fixed test view
+        batch = {k: jnp.asarray(v) for k, v in b.items()}
+        dret = demo.render_demo_fn()(variables, batch)
+        ov = np.asarray(dret["overflows"])
+        assert ov[0] == 0 and ov[2] == 0 and ov[3] == 0, ov.tolist()
+
+        bret = base.render_eval_fn()(variables, batch)
+        base_img = np.zeros((H * W, 3))
+        idx = np.flatnonzero(np.asarray(b["mask_at_box"]))
+        n = int(b["n_rays"])
+        base_img[idx[:n]] = np.asarray(bret["rgb_map"])[:n]
+        base_img = base_img.reshape(H, W, 3)
+
+        from gpnerf_tpu.render.demo import pred_img_hwc
+
+        demo_img = pred_img_hwc(dret)
+        covered = np.asarray(dret["mask_at_box"]).reshape(H, W) & np.asarray(
+            b["mask_at_box"]
+        ).reshape(H, W)
+        assert covered.sum() > 200, "demo should cover body pixels"
+        diff = np.abs(demo_img[covered] - base_img[covered])
+        assert np.median(diff) < 0.02, (view, float(np.median(diff)))
+        assert (diff.max(axis=-1) < 0.1).mean() > 0.8, (
+            view,
+            float((diff.max(axis=-1) < 0.1).mean()),
+        )
