@@ -35,10 +35,26 @@ class SyntheticDataset(HumanNVSDataset):
             train_ids = np.array(
                 [j for j in range(n_cams) if j not in test_ids], np.int64
             )
+        Ks, Rs, Ts = self.scene.Ks, self.scene.Rs, self.scene.Ts
+        if self.neg_ray:
+            # serve OpenGL-convention cameras (scene at NEGATIVE camera z —
+            # the convention that makes THuman neg_ray; CustomDataset
+            # renders, data_utils.py:123-127 sign handling). Converted
+            # pixel-identically from the OpenCV rig via F = diag(1, 1, -1):
+            # R' = F R, T' = F T, fx' = -fx, fy' = -fy — the splat renders
+            # stay valid ground truth for the converted cameras.
+            F = np.diag([1.0, 1.0, -1.0]).astype(np.float32)
+            Ks = Ks.copy()
+            Ks[:, 0, 0] *= -1.0
+            Ks[:, 1, 1] *= -1.0
+            Rs = np.einsum("ij,njk->nik", F, Rs).astype(np.float32)
+            Ts = np.einsum("ij,njk->nik", F, Ts.reshape(-1, 3, 1)).astype(
+                np.float32
+            )
         self._cams = {
-            "K": self.scene.Ks,
-            "R": self.scene.Rs,
-            "T": self.scene.Ts,
+            "K": Ks,
+            "R": Rs,
+            "T": Ts,
             "train_ids": train_ids,
             "test_ids": test_ids,
         }
@@ -57,7 +73,8 @@ class SyntheticDataset(HumanNVSDataset):
     def mask_and_camera(self, seq, frame_id, cam_id):
         cam_id = cam_id % self.scene.n_cams
         _img, msk = self.scene.render_view(frame_id, cam_id)
-        return msk, self.scene.Ks[cam_id], self.scene.Rs[cam_id], self.scene.Ts[cam_id]
+        c = self._cams
+        return msk, c["K"][cam_id], c["R"][cam_id], c["T"][cam_id]
 
 
 def build_dataset(cfg, is_train=True):

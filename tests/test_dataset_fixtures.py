@@ -350,3 +350,60 @@ def test_thuman_demo_matches_base(thuman_root):
             view,
             float((diff.max(axis=-1) < 0.1).mean()),
         )
+
+
+def test_synthetic_neg_ray_camera_conversion():
+    """SyntheticDataset's OpenGL-convention option (dataset name containing
+    'thuman') must be pixel-identical to the OpenCV rig: same GT images,
+    masks and mask_at_box, same SMPL prep, NEGATED ray t-spans (the neg_ray
+    parameterization, data_utils.py:123-127)."""
+    import random
+
+    from gpnerf_tpu.config import cfg as _cfg
+    from gpnerf_tpu.registry import get
+
+    def build(name):
+        cfg = _cfg.clone()
+        cfg.defrost()
+        cfg.merge_from_file("configs/synthetic.yaml")
+        cfg.dataset.H = 128
+        cfg.dataset.W = 128
+        cfg.dataset.test.name = name
+        cfg.dataset.ratio = 1.0
+        cfg.freeze()
+        return get("dataset", "SyntheticDataset")(cfg, is_train=False)
+
+    pos = build("synthetic")
+    neg = build("thuman-synthetic")
+    assert not pos.neg_ray and neg.neg_ray
+
+    for idx in (0, 3):
+        np.random.seed(idx)
+        random.seed(idx)
+        bp = pos[idx]
+        np.random.seed(idx)
+        random.seed(idx)
+        bn = neg[idx]
+        # pixel-identical image-space quantities
+        np.testing.assert_array_equal(bp["tar_img"], bn["tar_img"])
+        np.testing.assert_array_equal(bp["mask_at_box"], bn["mask_at_box"])
+        np.testing.assert_array_equal(bp["src_imgs"], bn["src_imgs"])
+        # identical world-space SMPL prep
+        np.testing.assert_allclose(bp["can_bounds"], bn["can_bounds"],
+                                   atol=1e-6)
+        np.testing.assert_array_equal(bp["coord"], bn["coord"])
+        # rays trace the same pixels with NEGATED t-spans: the world-space
+        # sample segments must coincide
+        n = int(bp["n_rays"])
+        assert n == int(bn["n_rays"])
+        for t in ("near", "far"):
+            assert (bn[t][:n] < 0).all(), t
+        # the segment endpoints coincide with roles SWAPPED: the neg
+        # ray's near (most negative t) is the positive ray's far point
+        # (directions are negated: o + t*(-d) == o - t*d)
+        p0p = bp["ray_o"][:n] + bp["near"][:n, None] * bp["ray_d"][:n]
+        p1p = bp["ray_o"][:n] + bp["far"][:n, None] * bp["ray_d"][:n]
+        p0n = bn["ray_o"][:n] + bn["near"][:n, None] * bn["ray_d"][:n]
+        p1n = bn["ray_o"][:n] + bn["far"][:n, None] * bn["ray_d"][:n]
+        np.testing.assert_allclose(p0n, p1p, atol=1e-3)
+        np.testing.assert_allclose(p1n, p0p, atol=1e-3)
