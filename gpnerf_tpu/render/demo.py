@@ -320,6 +320,7 @@ class Renderer(BaseRenderer):
         )
         tables = dict(tables, head_vars=head_vars)  # for the fused kernel's
         # trace-time weight packing (pallas_point)
+        anchor = tables.get("anchor", 0.0)  # profiling DCE guard (frame stage)
         neg_ray = self.neg_ray_val
         S = self.n_samples
         K = self.samples_per_ray
@@ -391,7 +392,7 @@ class Renderer(BaseRenderer):
             sig_overflow = jnp.int32(0)
             sig_idx_t = None
             if stop_stage in ("cull_occ", "cull_slots", "cull_compact"):
-                return ({"dbg": pts_c.sum() + dhw_c.sum()}, None)
+                return ({"dbg": pts_c.sum() + dhw_c.sum() + anchor}, None)
             return self._point_stages(
                 apply, batch, pre, tables, pts_c, dhw_c, sig_ok, sig_idx_t,
                 perray_overflow, sig_overflow, K, nr, ray_ok, neg_ray,
@@ -454,7 +455,7 @@ class Renderer(BaseRenderer):
                 (occb.reshape(-1)[flat_idxT] > 0) & inbT & ray_ok[None, :]
             )  # (W, R)
         if stop_stage == "cull_occ":
-            return ({"dbg": ok.sum()}, None)
+            return ({"dbg": ok.sum() + anchor}, None)
 
         # per-ray rank compaction: slot k of a ray holds the WINDOW sample
         # index of its (k+1)-th occupied sample (sentinel W when fewer).
@@ -468,7 +469,7 @@ class Renderer(BaseRenderer):
         slot_validT = slot_relT < W
         perray_overflow = jnp.maximum(cum[-1] - K, 0).sum()
         if stop_stage == "cull_slots":
-            return ({"dbg": slot_relT.sum() + perray_overflow}, None)
+            return ({"dbg": slot_relT.sum() + perray_overflow + anchor}, None)
 
         if self.dense_slots:
             # evaluate the whole (K, R) slot frame in identity layout: no
@@ -493,7 +494,7 @@ class Renderer(BaseRenderer):
             # clamped sample position)
             dhw_c = self.points_to_dhw_vox(pts_c, batch)
             if stop_stage == "cull_compact":
-                return ({"dbg": pts_c.sum() + dhw_c.sum()}, None)
+                return ({"dbg": pts_c.sum() + dhw_c.sum() + anchor}, None)
             return self._point_stages(
                 apply, batch, pre, tables, pts_c, dhw_c, sig_ok, None,
                 perray_overflow, jnp.int32(0), K, nr, ray_ok, neg_ray,
@@ -531,7 +532,7 @@ class Renderer(BaseRenderer):
         pts_c = rows9[:, 0:3] + rows9[:, 3:6] * z_of[:, None]
         dhw_c = self.points_to_dhw_vox(pts_c, batch)
         if stop_stage == "cull_compact":
-            return ({"dbg": pts_c.sum() + dhw_c.sum()}, None)
+            return ({"dbg": pts_c.sum() + dhw_c.sum() + anchor}, None)
         return self._point_stages(
             apply, batch, pre, tables, pts_c, dhw_c, sig_ok, sig_idx_t,
             perray_overflow, sig_overflow, K, nr, ray_ok, neg_ray,
@@ -684,8 +685,19 @@ class Renderer(BaseRenderer):
                 pts_c, pre["KE"], src_quad, feat_quad, Hsrc, Wsrc,
                 neg_ray=neg_ray,
             )  # (P, V, C+3), (P, V)
+        # running profiling checksum (see _frame_stage): accumulate every
+        # intermediate so no stop program can DCE an earlier point stage
+        # (the sigma and rgb branches are dataflow-independent)
+        prof = stop_stage is not None
+        ck = None
+        if prof:
+            ck = (
+                tables.get("anchor", 0.0)
+                + rgb_feat.sum().astype(jnp.float32)
+                + view_mask.sum()
+            )
         if stop_stage == "cull":
-            return ({"dbg": rgb_feat.sum().astype(jnp.float32) + view_mask.sum()}, None)
+            return ({"dbg": ck}, None)
 
         # (6) density (:294-314). frame_mode also reads the level-1
         # trilinear occupancy off the same query (the reference tight cull)
@@ -705,23 +717,31 @@ class Renderer(BaseRenderer):
                 lambda m, *a, **k: m.sigmahead.query_sigma_feat_octet(*a, **k),
                 octet_vols, dhw_c, out_sh, **kw,
             )  # (P, 64)
+        if prof:
+            ck = ck + sigma_feat.sum().astype(jnp.float32)
         if stop_stage == "sigma_q":
-            return ({"dbg": sigma_feat.sum().astype(jnp.float32)}, None)
+            return ({"dbg": ck}, None)
         mean, var = fused_mean_variance(rgb_feat)  # (P, 1, C+3)
         num_valid_obs = view_mask.sum(axis=-1, keepdims=True)
-        if stop_stage == "meanvar":
-            return (
-                {"dbg": mean.sum().astype(jnp.float32) + num_valid_obs.sum()},
-                None,
+        if prof:
+            ck = (
+                ck
+                + mean.sum().astype(jnp.float32)
+                + var.sum().astype(jnp.float32)
+                + num_valid_obs.sum()
             )
+        if stop_stage == "meanvar":
+            return ({"dbg": ck}, None)
         sigma = apply(
             lambda m, *a: m.rgbhead.density(*a),
             sigma_feat, mean[:, 0], var[:, 0], num_valid_obs,
         )[:, 0]
         sigma = jnp.where(sig_ok, sigma.astype(jnp.float32), 0.0)
         alpha = 1.0 - jnp.exp(-sigma)
+        if prof:
+            ck = ck + alpha.sum()
         if stop_stage == "sigma":
-            return ({"dbg": alpha.sum()}, None)
+            return ({"dbg": ck}, None)
 
         # (7) color head on the sigma frame, alpha-masked (:316-333). The
         # reference compacts alpha>1e-14 survivors before its color MLP; in
@@ -736,8 +756,10 @@ class Renderer(BaseRenderer):
             var[:, None],
         )[:, 0].astype(jnp.float32)  # (P, 3); composite in f32
         alpha_live = (alpha > 1e-14) & sig_ok
+        if prof:
+            ck = ck + rgb.sum() + alpha_live.sum()
         if stop_stage == "rgb":
-            return ({"dbg": rgb.sum()}, None)
+            return ({"dbg": ck}, None)
 
         # (8) composite over the SLOT-major (K, ray) frame (:334-353).
         # Slots are ordered by ascending sample index == traversal order,
@@ -828,16 +850,26 @@ class Renderer(BaseRenderer):
         out_sh = pre["out_sh"]
         S = self.n_samples
         K = self.samples_per_ray
+        # ck: running checksum over every intermediate produced so far,
+        # accumulated ONLY under a stop_stage (profiling) program and folded
+        # into each stop's output, so XLA cannot dead-code-eliminate earlier
+        # stages out of a truncated program — every stage prefix is a strict
+        # superset of the previous one and profile() deltas attribute
+        # honestly. Never computed in the production program.
+        prof = stop_stage is not None
+        ck = (
+            sum(g.nbr.sum() for g in grids) + pre["smpl_feat"].sum()
+            if prof
+            else None
+        )
         if stop_stage == "pre":
-            return {
-                "dbg": sum(g.nbr.sum() for g in grids) + pre["smpl_feat"].sum()
-            }
+            return {"dbg": ck}
 
         if stop_stage == "codes":
             fused = apply(
                 lambda m, s: m.sigmahead.fuse_codes(s), pre["smpl_feat"]
             )
-            return {"dbg": fused.sum().astype(jnp.float32)}
+            return {"dbg": fused.sum().astype(jnp.float32) + ck}
 
         # (2) volume + occupancy (demo_render.py:154-165). Both paths end
         # in dense per-level volumes (zero at inactive sites) — the direct
@@ -891,9 +923,10 @@ class Renderer(BaseRenderer):
                 scatter_dense(level_feats[i], grids[i + 1]) for i in (1, 2, 3)
             ]
             masks3d = occupancy_volume(level_feats, grids)
-        if stop_stage == "fuse":
-            return {
-                "dbg": sum(
+        if prof:
+            ck = (
+                ck
+                + sum(
                     v.sum().astype(jnp.float32) for v in vols if v is not None
                 )
                 + (0.0 if flat1 is None else flat1.sum())
@@ -902,13 +935,17 @@ class Renderer(BaseRenderer):
                     if level_feats is None
                     else level_feats[0].sum().astype(jnp.float32)
                 )
-            }
+            )
+        if stop_stage == "fuse":
+            return {"dbg": ck}
         # occupancy stays float32: masks3d feeds > occupancy_threshold
         # comparisons (voxel election, zmin splat) where bf16 rounding can
         # flip borderline voxels; vols are cast to compute_dtype only after
         # the occupancy field is built
+        if prof:
+            ck = ck + masks3d.sum()
         if stop_stage == "occv":
-            return {"dbg": masks3d.sum()}
+            return {"dbg": ck}
         if self.compute_dtype is not None:
             # per-point stages run reduced precision: gather tables and the
             # gathered rows halve their HBM traffic
@@ -1034,16 +1071,24 @@ class Renderer(BaseRenderer):
             src_quad = build_quad_table_2d(src_unnorm)
             feat_quad = build_quad_table_2d(featmaps)
             proj_scale = None
-        if stop_stage == "volume":
-            return {
-                "dbg": sum(
-                    (v.rows if hasattr(v, "rows") else v).sum()
+        if prof:
+            ck = (
+                ck
+                + sum(
+                    (v.rows if hasattr(v, "rows") else v)
+                    .sum()
+                    .astype(jnp.float32)
                     for v in octet_vols
                 )
-                + masks3d.sum()
-                + src_quad.sum()
-                + (0.0 if feat_quad is None else feat_quad.sum())
-            }
+                + src_quad.sum().astype(jnp.float32)
+                + (
+                    0.0
+                    if feat_quad is None
+                    else feat_quad.sum().astype(jnp.float32)
+                )
+            )
+        if stop_stage == "volume":
+            return {"dbg": ck}
 
         # occupied voxels -> world points. With tight_cull the splat source
         # is the compacted level-1 active set (occupied voxels are a subset
@@ -1117,8 +1162,17 @@ class Renderer(BaseRenderer):
             rays_o, rays_d, can_bounds, neg_ray=neg_ray
         )
         ray_ok = ray_ok & mask_at_box
+        if prof:
+            ck = (
+                ck
+                + near.sum()
+                + far.sum()
+                + ray_ok.sum()
+                + zmin_flat.sum()
+                + pix_idx.sum().astype(jnp.float32)
+            )
         if stop_stage == "rays":
-            return {"dbg": near.sum() + far.sum() + ray_ok.sum()}
+            return {"dbg": ck}
 
         use_bins = self.splat_bins and self.tight_cull and not neg_ray
         if use_bins:
@@ -1158,6 +1212,12 @@ class Renderer(BaseRenderer):
             "feat_quad": feat_quad,
             "proj_scale": proj_scale,
         }
+        if prof:
+            if bins is not None:
+                ck = ck + bins.astype(jnp.float32).sum()
+            if occb is not None:
+                ck = ck + occb.astype(jnp.float32).sum()
+            tables["anchor"] = ck
         return pre, tables, {
             "rays_o": rays_o,
             "rays_d": rays_d,
@@ -1306,7 +1366,15 @@ class Renderer(BaseRenderer):
         """Per-stage wall-clock, keyed by the reference's time_slots names
         (demo_render.py:97-357): stage-prefix jits are timed and their
         deltas mapped onto the closest reference slot. `etime`/`rtime` match
-        demo_render.py:494-497."""
+        demo_render.py:494-497.
+
+        Every stop-stage program folds a checksum of ALL prior side
+        products (octet/quad tables, occupancy, bins — tables["anchor"])
+        into its output, so XLA cannot dead-code-eliminate earlier stages
+        out of a truncated program: each prefix is a strict superset of the
+        previous one and the deltas attribute honestly. The anchor sums
+        themselves cost ~0.5 ms that the FULL program does not pay, so the
+        final delta (rgb_f) is under-credited by about that much."""
         from functools import partial
 
         enc = self.encode_fn()
@@ -1315,7 +1383,7 @@ class Renderer(BaseRenderer):
         etime = time.time() - t0
 
         stages = ("volume", "rays", "cull_occ", "cull_compact", "cull",
-                  "sigma", None)
+                  "sigma_q", "sigma", None)
         totals = {}
         for stage in stages:
             fn = jax.jit(partial(self._demo_impl, stop_stage=stage))
@@ -1335,8 +1403,9 @@ class Renderer(BaseRenderer):
             "sigma_c": 0.0,
             "sp_encode": deltas["volume"],     # fuse+conv+occupancy+dense
             "bc_time": deltas["rays"],         # splat + rays + near/far
-            "bf_sigma": deltas["cull_occ"] + deltas["cull_compact"] + deltas["cull"],
-            "sigma_f": deltas["sigma"],        # density MLP
+            "bf_sigma": deltas["cull_occ"] + deltas["cull_compact"]
+            + deltas["cull"] + deltas["sigma_q"],  # culls + proj/octet gathers
+            "sigma_f": deltas["sigma"],        # mean/var + density MLP
             "bf_rgb": 0.0,                     # alpha cull + color gather
             "rgb_f": deltas[None],             # color MLP + composite
             "bc_render": 0.0,

@@ -14,9 +14,11 @@ Usage: python tools/profile_demo.py [ckpt.pth] [--async]
 blocking (the bench protocol) — amortizes the ~30 ms dispatch round-trip
 that dominates blocking measurements on this networked runtime. Distinct
 frames defeat the runtime's memoization of repeated identical executions.
-Deltas remain DCE-bounded (a stop_stage program drops table builds its
-prefix never reads), so treat them as lower bounds per stage; the
-end-to-end row is the ground truth.
+Stop-stage programs fold a checksum of every prior side product into their
+output (tables["anchor"], render/demo.py), so XLA cannot DCE table builds
+out of a prefix: each program is a strict superset of the previous one and
+deltas attribute honestly. The anchor sums cost ~0.5 ms the full (None)
+program does not pay, so the last delta is under-credited by about that.
 """
 
 import sys
