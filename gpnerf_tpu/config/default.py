@@ -287,6 +287,15 @@ cfg.tpu.merge_lowres_src = False
 # sweep (round 3, with W=32/K=12): 22.677 PSNR vs 22.670 unmerged —
 # reinterpolation of the smooth coarse features is quality-neutral.
 cfg.tpu.merge_coarse_octet = True
+# fold out_geometry_fc's coarse-channel block into the merged coarse table
+# build: trilinear interpolation is linear, so W2 @ trilerp(v) ==
+# trilerp(W2 @ v) — the per-frame dense matmul shrinks the coarse octet
+# rows 96 -> 64 channels (25% of the dominant per-point gather bytes) and
+# the per-point query skips that block of the linear. The folded field is
+# signed (int8 scales when quantize_volume). Requires merge_coarse_octet;
+# exact in f32, quantization error redistributes (full-set sweep
+# validated).
+cfg.tpu.fold_coarse_fc = True
 # matmul precision: 'bfloat16' or 'float32'
 cfg.tpu.matmul_dtype = "bfloat16"
 # training compute precision for the BaseRender train step: 'float32'

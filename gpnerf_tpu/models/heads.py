@@ -126,6 +126,33 @@ class NeRFSigmaHead(nn.Module):
             return sigma_feat, feats[..., :nch].sum(axis=-1)
         return sigma_feat
 
+    def query_sigma_feat_octet_folded(self, octet_l1, octet_coarse,
+                                      dhw_vox, out_sh_dyn, scales=None,
+                                      with_l1_occ=False):
+        """`query_sigma_feat_octet` against a FOLDED merged-coarse table:
+        out_geometry_fc's coarse-channel block was pre-applied to the
+        coarse volume at table-build time (trilinear commutes with linear
+        maps), so the queried coarse rows (64 ch) already ARE that block's
+        pre-activation contribution — only the level-1 block of the linear
+        runs per point: sigma_feat = ELU(f1 @ W[:nch] + fc + b)."""
+        feats = self.xyzc_net.query_octet2(
+            octet_l1, octet_coarse, dhw_vox, out_sh_dyn, scales=scales
+        )
+        nch = self.spconv_out_dim[0]
+        f1 = feats[..., :nch]
+        fc = feats[..., nch:]
+        p = self.variables["params"]["out_geometry_fc"]["dense_0"]
+        dt = f1.dtype if self.compute_dtype is None else self.compute_dtype
+        pre = (
+            f1.astype(dt) @ p["kernel"][:nch].astype(dt)
+            + fc.astype(dt)
+            + p["bias"].astype(dt)
+        )
+        sigma_feat = nn.elu(pre)
+        if with_l1_occ:
+            return sigma_feat, f1.sum(axis=-1)
+        return sigma_feat
+
     def __call__(self, smpl_feat, vertex_rows, levels, dhw_vox, out_sh_dyn,
                  *, train: bool):
         from gpnerf_tpu.ops.sparse_conv import scatter_dense

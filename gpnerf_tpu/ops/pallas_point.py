@@ -69,9 +69,15 @@ def _pack_cols(kernel, blocks):
     return jnp.concatenate(parts, axis=1)
 
 
-def pack_head_weights(head_params, C):
+def pack_head_weights(head_params, C, fold_nch=None):
     """Flatten the head MLP params into the kernel's (Cout, Cin) f32 list.
-    `head_params`: variables["head"]["params"]; C = 3 + in_feat_ch (35)."""
+    `head_params`: variables["head"]["params"]; C = 3 + in_feat_ch (35).
+
+    `fold_nch`: when the merged coarse octet table was built with
+    out_geometry_fc's coarse block pre-applied (render/demo.py
+    fold_coarse_fc), the kernel's geometry input is (P, fold_nch + 64) =
+    [raw level-1 | pre-multiplied coarse] and the sigma-feat weight
+    becomes [W[:fold_nch] | I_64] — the coarse block is the identity."""
     sh = head_params["sigmahead"]["out_geometry_fc"]["dense_0"]
     rh = head_params["rgbhead"]
 
@@ -88,7 +94,14 @@ def pack_head_weights(head_params, C):
     v = rh["vis_fc"]
     r = rh["rgb_fc"]
     ws = []
-    ws += wb(sh)  # W_sf (64, 128)
+    if fold_nch is None:
+        ws += wb(sh)  # W_sf (64, 128)
+    else:
+        n_out = sh["kernel"].shape[1]
+        w_sf = jnp.concatenate(
+            [sh["kernel"][:fold_nch].T, jnp.eye(n_out)], axis=1
+        )  # (64, fold_nch + 64)
+        ws += wb(sh, w_sf)
     ws += wb(d["dense_0"], _pack_cols(d["dense_0"]["kernel"], [64, C, C]))
     ws += wb(d["dense_1"])
     ws += wb(d["dense_2"])

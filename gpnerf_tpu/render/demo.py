@@ -96,7 +96,8 @@ class Renderer(BaseRenderer):
     def __init__(self, *args, ray_cap=65536, sigma_cap=1048576, rgb_cap=262144,
                  occupancy_threshold=0.1, compute_dtype=None, tight_cull=False,
                  samples_per_ray=24, quantize_volume=False, tap_window=0,
-                 merge_coarse_octet=False, dense_conv=False,
+                 merge_coarse_octet=False, fold_coarse_fc=False,
+                 dense_conv=False,
                  merge_src_feat=False, merge_lowres_src=False,
                  frame_mode=False, dense_slots=False,
                  window_margin_voxels=6.0, splat_bins=False,
@@ -134,6 +135,17 @@ class Renderer(BaseRenderer):
         # the features are post-ReLU activations
         self.quantize_volume = bool(quantize_volume)
         self.merge_coarse_octet = bool(merge_coarse_octet)
+        # fold out_geometry_fc's coarse block into the merged coarse table:
+        # trilerp(W2 @ v) == W2 @ trilerp(v), so the per-frame dense matmul
+        # shrinks coarse octet rows 96 -> 64 ch (25% of the dominant gather
+        # bytes); the per-point linear keeps only its level-1 block
+        # (pack_octet_u32's post-gather unpack assumes unsigned bytes, so
+        # the signed folded table is incompatible with it)
+        self.fold_coarse_fc = (
+            bool(fold_coarse_fc)
+            and self.merge_coarse_octet
+            and not bool(pack_octet_u32)
+        )
         self.dense_conv = bool(dense_conv)
         self.merge_src_feat = bool(merge_src_feat)
         self.merge_lowres_src = bool(merge_lowres_src)
@@ -589,7 +601,14 @@ class Renderer(BaseRenderer):
         scale = tables.get("proj_scale")
         if scale is None:
             scale = jnp.ones((rows.shape[-1] // 4,), jnp.float32)
-        weights = pack_head_weights(head_vars["params"], rows.shape[-1] // 4)
+        weights = pack_head_weights(
+            head_vars["params"], rows.shape[-1] // 4,
+            fold_nch=(
+                self.nerfhead.spconv_out_dim[0]
+                if tables.get("folded")
+                else None
+            ),
+        )
         alpha, rgb = fused_point_stages(
             rows, w4, scale, feats, vmask, sig_ok, weights
         )  # alpha (P,) sigma-masked; rgb (P, 3) alpha-culled
@@ -704,18 +723,25 @@ class Renderer(BaseRenderer):
         if mask_from_query is None:
             mask_from_query = frame_mode
         kw = {} if octet_scales is None else {"scales": octet_scales}
+        if tables.get("folded"):
+            query = (
+                lambda m, *a, **k: m.sigmahead.query_sigma_feat_octet_folded(
+                    a[0][0], a[0][1], *a[1:], **k
+                )
+            )
+        else:
+            query = lambda m, *a, **k: m.sigmahead.query_sigma_feat_octet(
+                *a, **k
+            )
         if mask_from_query:
             sigma_feat, occ_l1 = apply(
-                lambda m, *a, **k: m.sigmahead.query_sigma_feat_octet(
-                    *a, **k, with_l1_occ=True
-                ),
+                lambda m, *a, **k: query(m, *a, **k, with_l1_occ=True),
                 octet_vols, dhw_c, out_sh, **kw,
             )
             sig_ok = sig_ok & (occ_l1.astype(jnp.float32) > 0)
         else:
             sigma_feat = apply(
-                lambda m, *a, **k: m.sigmahead.query_sigma_feat_octet(*a, **k),
-                octet_vols, dhw_c, out_sh, **kw,
+                query, octet_vols, dhw_c, out_sh, **kw,
             )  # (P, 64)
         if prof:
             ck = ck + sigma_feat.sum().astype(jnp.float32)
@@ -979,6 +1005,22 @@ class Renderer(BaseRenderer):
                 ],
                 axis=-1,
             )
+            if self.fold_coarse_fc:
+                # pre-apply out_geometry_fc's coarse block to the volume:
+                # trilinear is linear, so querying W2 @ v equals applying W2
+                # after the query — one dense MXU matmul per frame shrinks
+                # the coarse octet rows 96 -> 64 channels (25% of the
+                # dominant per-point gather bytes). The per-point linear
+                # keeps only its level-1 block (query_sigma_feat_octet_folded
+                # / pack_head_weights fold_nch). Exact in f32; the folded
+                # field is signed, so its quantization is int8.
+                nch1 = self.nerfhead.spconv_out_dim[0]
+                w_coarse = head_vars["params"]["sigmahead"][
+                    "out_geometry_fc"
+                ]["dense_0"]["kernel"][nch1:]
+                combined = jnp.einsum(
+                    "dhwc,co->dhwo", combined, w_coarse.astype(jnp.float32)
+                )
             dense_list = [vols[0], combined]
         else:
             dense_list = vols
@@ -1013,7 +1055,13 @@ class Renderer(BaseRenderer):
                     )
                     octet_scales.append(sc)
                     continue
-                q, sc = quantize_volume_u8(vol)
+                if i == 1 and self.fold_coarse_fc:
+                    # folded coarse field is signed -> int8 quantization
+                    from gpnerf_tpu.ops.grid_sample import quantize_image_i8
+
+                    q, sc = quantize_image_i8(vol)
+                else:
+                    q, sc = quantize_volume_u8(vol)
                 octet_vols.append(build(q))
                 octet_scales.append(sc)
         else:
@@ -1211,6 +1259,7 @@ class Renderer(BaseRenderer):
             "src_quad": src_quad,
             "feat_quad": feat_quad,
             "proj_scale": proj_scale,
+            "folded": self.fold_coarse_fc,
         }
         if prof:
             if bins is not None:
@@ -1566,6 +1615,7 @@ def build_render(cfg):
         quantize_volume=cfg.tpu.quantize_volume,
         tap_window=cfg.tpu.tap_window,
         merge_coarse_octet=cfg.tpu.merge_coarse_octet,
+        fold_coarse_fc=cfg.tpu.fold_coarse_fc,
         dense_conv=cfg.tpu.dense_conv,
         merge_src_feat=cfg.tpu.merge_src_feat,
         merge_lowres_src=cfg.tpu.merge_lowres_src,
