@@ -296,6 +296,15 @@ cfg.tpu.merge_coarse_octet = True
 # exact in f32, quantization error redistributes (full-set sweep
 # validated).
 cfg.tpu.fold_coarse_fc = True
+# int4-pack the FOLDED coarse octet table (two channels per byte,
+# split-pack, per-channel scales): halves that table's gather row bytes
+# (512 -> 256 B/point). Requires fold_coarse_fc + quantize_volume.
+# MEASURED SLOWER on v5e under the current XLA (43.3 vs 36.0 ms/frame
+# bench): the post-gather nibble shift/mask/concat costs more than the
+# bytes save — the same sub-word re-cost as pack_octet_u32. Quality is
+# fine (full-set 22.697 vs 22.705); kept as an option for compilers
+# where nibble ops fuse into the gather consumer.
+cfg.tpu.int4_coarse = False
 # matmul precision: 'bfloat16' or 'float32'
 cfg.tpu.matmul_dtype = "bfloat16"
 # training compute precision for the BaseRender train step: 'float32'

@@ -516,6 +516,30 @@ def quantize_volume_u8(vol, eps=1e-8):
     return q, scale
 
 
+class Int4Table(NamedTuple):
+    """Octet table with int4-PACKED channels: uint8 bytes whose LOW nibble
+    is channel c and HIGH nibble channel c + C//2 (split-pack — unpacking
+    is one minor-axis concat of the two nibble planes, no interleave).
+    Built as build_octet_table_3d(quantize_volume_i4(vol)) and consumed by
+    trilinear_octet_rows, which sign-extends after the gather. Halves the
+    gather row bytes of the (already folded) coarse table."""
+
+    table: jnp.ndarray  # (D+1, H+1, W+1, 8 * C//2) uint8
+
+
+def quantize_volume_i4(vol, eps=1e-8):
+    """Per-channel symmetric int4 quantization of a signed field, two
+    channels packed per byte (split-pack: low nibbles = channels
+    [0, C//2), high nibbles = channels [C//2, C)). Returns
+    (packed (..., C//2) uint8, scale (C,) float32)."""
+    C = vol.shape[-1]
+    amax = jnp.maximum(jnp.abs(vol.reshape(-1, C)).max(axis=0), eps)
+    scale = (amax / 7.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(vol / scale), -7, 7).astype(jnp.int32) & 0xF
+    packed = (q[..., : C // 2] | (q[..., C // 2 :] << 4)).astype(jnp.uint8)
+    return packed, scale
+
+
 def quantize_image_i8(img, eps=1e-8):
     """Per-channel symmetric int8 quantization of a (possibly signed) image
     or feature stack (the encoder's out_conv output is unbounded). Returns
@@ -541,6 +565,9 @@ def trilinear_octet_rows(table, pos, size, scale=None, out_dtype=None):
 
     import jax
 
+    int4 = isinstance(table, Int4Table)
+    if int4:
+        table = table.table
     if isinstance(table, FlatOctetTable):
         Dp, Hp, Wp = table.shape
         flat = table.rows
@@ -550,7 +577,7 @@ def trilinear_octet_rows(table, pos, size, scale=None, out_dtype=None):
         flat = table.reshape(-1, Cw)
     packed_u32 = flat.dtype == jnp.uint32
     C8 = Cw * 4 if packed_u32 else Cw
-    C = C8 // 8
+    C = C8 // 8  # packed BYTES per corner when int4 (channels = 2C then)
     wdt = out_dtype if out_dtype is not None else (
         jnp.float32 if (scale is not None or packed_u32) else flat.dtype
     )
@@ -573,9 +600,17 @@ def trilinear_octet_rows(table, pos, size, scale=None, out_dtype=None):
         # per-corner-slice convert: quantized (u8) tables are converted
         # inside the fused weighted sum instead of materializing a full
         # (P, 8C) float copy of the gather output first
-        out = out + rows[:, k * C : (k + 1) * C].astype(wdt) * (
-            w * inb.astype(wdt)
-        )[:, None]
+        seg = rows[:, k * C : (k + 1) * C]
+        if int4:
+            # split-pack nibbles -> sign-extended channels (low nibbles =
+            # channels [0, C), high = [C, 2C) of the packed byte count C)
+            s32 = seg.astype(jnp.int32)
+            lo = s32 & 0xF
+            hi = (s32 >> 4) & 0xF
+            seg = jnp.concatenate(
+                [lo - ((lo & 0x8) << 1), hi - ((hi & 0x8) << 1)], axis=-1
+            )
+        out = out + seg.astype(wdt) * (w * inb.astype(wdt))[:, None]
     if scale is not None:
         out = out * scale.astype(wdt)[None, :]
     return out

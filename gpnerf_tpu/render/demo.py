@@ -97,7 +97,7 @@ class Renderer(BaseRenderer):
                  occupancy_threshold=0.1, compute_dtype=None, tight_cull=False,
                  samples_per_ray=24, quantize_volume=False, tap_window=0,
                  merge_coarse_octet=False, fold_coarse_fc=False,
-                 dense_conv=False,
+                 int4_coarse=False, dense_conv=False,
                  merge_src_feat=False, merge_lowres_src=False,
                  frame_mode=False, dense_slots=False,
                  window_margin_voxels=6.0, splat_bins=False,
@@ -145,6 +145,11 @@ class Renderer(BaseRenderer):
             bool(fold_coarse_fc)
             and self.merge_coarse_octet
             and not bool(pack_octet_u32)
+        )
+        # int4 split-pack of the folded coarse table (halves its gather
+        # row bytes again); needs the signed folded field + quantization
+        self.int4_coarse = (
+            bool(int4_coarse) and self.fold_coarse_fc and bool(quantize_volume)
         )
         self.dense_conv = bool(dense_conv)
         self.merge_src_feat = bool(merge_src_feat)
@@ -1055,6 +1060,17 @@ class Renderer(BaseRenderer):
                     )
                     octet_scales.append(sc)
                     continue
+                if i == 1 and self.int4_coarse:
+                    # folded coarse, int4 split-packed: 2 channels/byte
+                    from gpnerf_tpu.ops.grid_sample import (
+                        Int4Table,
+                        quantize_volume_i4,
+                    )
+
+                    q, sc = quantize_volume_i4(vol)
+                    octet_vols.append(Int4Table(build_octet_table_3d(q)))
+                    octet_scales.append(sc)
+                    continue
                 if i == 1 and self.fold_coarse_fc:
                     # folded coarse field is signed -> int8 quantization
                     from gpnerf_tpu.ops.grid_sample import quantize_image_i8
@@ -1123,7 +1139,11 @@ class Renderer(BaseRenderer):
             ck = (
                 ck
                 + sum(
-                    (v.rows if hasattr(v, "rows") else v)
+                    (
+                        v.rows
+                        if hasattr(v, "rows")
+                        else (v.table if hasattr(v, "table") else v)
+                    )
                     .sum()
                     .astype(jnp.float32)
                     for v in octet_vols
@@ -1616,6 +1636,7 @@ def build_render(cfg):
         tap_window=cfg.tpu.tap_window,
         merge_coarse_octet=cfg.tpu.merge_coarse_octet,
         fold_coarse_fc=cfg.tpu.fold_coarse_fc,
+        int4_coarse=cfg.tpu.int4_coarse,
         dense_conv=cfg.tpu.dense_conv,
         merge_src_feat=cfg.tpu.merge_src_feat,
         merge_lowres_src=cfg.tpu.merge_lowres_src,

@@ -97,6 +97,53 @@ def test_packed_weights_fold_identity():
     )
 
 
+def test_int4_octet_roundtrip():
+    """Int4 split-pack: quantize -> octet table -> trilinear query at exact
+    voxel centers reproduces the quantized values (dequantized), and at
+    fractional positions matches a float trilerp of the dequantized field."""
+    from gpnerf_tpu.ops.grid_sample import (
+        Int4Table,
+        build_octet_table_3d,
+        quantize_volume_i4,
+        trilinear_octet_rows,
+    )
+
+    rng = np.random.RandomState(2)
+    D, H, W, C = 4, 5, 6, 64
+    vol = jnp.asarray(rng.randn(D, H, W, C).astype(np.float32))
+    packed, scale = quantize_volume_i4(vol)
+    assert packed.shape == (D, H, W, C // 2) and packed.dtype == jnp.uint8
+    deq = None  # reconstruct the dequantized field for the oracle
+    q = np.asarray(packed).astype(np.int32)
+    lo = q & 0xF
+    hi = (q >> 4) & 0xF
+    dq = np.concatenate(
+        [lo - ((lo & 0x8) << 1), hi - ((hi & 0x8) << 1)], axis=-1
+    ).astype(np.float32) * np.asarray(scale)
+    assert np.abs(dq - np.asarray(vol)).max() <= np.asarray(scale).max() * 0.51
+
+    tab = Int4Table(build_octet_table_3d(packed))
+    size = jnp.asarray([D, H, W], jnp.int32)
+    # voxel centers
+    ii = np.stack(np.meshgrid(range(D), range(H), range(W), indexing="ij"),
+                  -1).reshape(-1, 3).astype(np.float32)
+    out = trilinear_octet_rows(tab, jnp.asarray(ii), size, scale=scale)
+    np.testing.assert_allclose(
+        np.asarray(out), dq.reshape(-1, C), rtol=1e-5, atol=1e-5
+    )
+    # fractional positions vs float-trilerp oracle of the dequantized field
+    pos = rng.uniform(0, [D - 1, H - 1, W - 1], (200, 3)).astype(np.float32)
+    out_f = np.asarray(
+        trilinear_octet_rows(tab, jnp.asarray(pos), size, scale=scale)
+    )
+    from gpnerf_tpu.ops.grid_sample import trilinear_dense_rows
+
+    oracle = np.asarray(
+        trilinear_dense_rows(jnp.asarray(dq), jnp.asarray(pos))
+    )
+    np.testing.assert_allclose(out_f, oracle, rtol=1e-4, atol=1e-4)
+
+
 @pytest.fixture(scope="module")
 def small_cfg():
     from gpnerf_tpu.config import cfg as _cfg
