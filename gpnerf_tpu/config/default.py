@@ -305,6 +305,17 @@ cfg.tpu.fold_coarse_fc = True
 # fine (full-set 22.697 vs 22.705); kept as an option for compilers
 # where nibble ops fuse into the gather consumer.
 cfg.tpu.int4_coarse = False
+# sample the FOLDED coarse table nearest-neighbor (one 64-byte row-gather
+# per point instead of a 512-byte octet row): 8x fewer coarse gather
+# bytes, piecewise-constant interpolation of the smooth coarse field.
+# 0 = off (trilinear octet), 1 = nearest at the native level-2 grid,
+# 2 = nearest at the level-1 grid (field upsampled once per frame by
+# dense separable matmuls — same total table bytes as the octet form,
+# half the piecewise-constant step). Requires fold_coarse_fc +
+# quantize_volume. Default 2: full-set sweep 22.720 PSNR / 0.9243 SSIM
+# vs 22.705 / 0.9241 trilinear, 27.9 vs 26.5 fps (r4); the level-2-grid
+# form (1) is faster still (29.8 fps) but costs 0.2 dB.
+cfg.tpu.coarse_nearest = 2
 # matmul precision: 'bfloat16' or 'float32'
 cfg.tpu.matmul_dtype = "bfloat16"
 # training compute precision for the BaseRender train step: 'float32'

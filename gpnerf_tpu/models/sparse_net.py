@@ -178,18 +178,25 @@ class SparseConvNet(nn.Module):
         frame). Halves the per-point random-gather count of query_octet;
         the resample is a reinterpolation of the smooth coarse features
         (quality-validated by the full-set sweep)."""
-        from gpnerf_tpu.ops.grid_sample import trilinear_octet_rows
+        from gpnerf_tpu.ops.grid_sample import (
+            NearestTable,
+            nearest_rows,
+            trilinear_octet_rows,
+        )
 
         frac = dhw_vox / out_sh_dyn.astype(dhw_vox.dtype)
         outs = []
         for i, tab in enumerate((octet_l1, octet_coarse)):
-            size = out_sh_dyn // (2 ** (i + 1))
+            if isinstance(tab, NearestTable):
+                size = out_sh_dyn // tab.div
+                fn = nearest_rows
+            else:
+                size = out_sh_dyn // (2 ** (i + 1))
+                fn = trilinear_octet_rows
             pos = frac * (size - 1).astype(dhw_vox.dtype)
             sc = None if scales is None else scales[i]
             outs.append(
-                trilinear_octet_rows(
-                    tab, pos, size, scale=sc, out_dtype=self.compute_dtype
-                )
+                fn(tab, pos, size, scale=sc, out_dtype=self.compute_dtype)
             )
         return jnp.concatenate(outs, axis=-1)
 

@@ -527,6 +527,36 @@ class Int4Table(NamedTuple):
     table: jnp.ndarray  # (D+1, H+1, W+1, 8 * C//2) uint8
 
 
+class NearestTable(NamedTuple):
+    """Flat per-voxel rows sampled NEAREST-neighbor (round(pos)): one
+    C-channel row-gather per point instead of an 8C octet row — an option
+    for smooth fields (the folded coarse level), 8x fewer gather bytes at
+    the cost of piecewise-constant interpolation. `div` is the grid's
+    divisor relative to the level-0 voxel extent (4 = the native level-2
+    coarse grid; 2 = the field pre-upsampled onto the level-1 grid, which
+    halves the piecewise-constant step at the same per-point gather
+    bytes)."""
+
+    rows: jnp.ndarray  # (D*H*W, C)
+    shape: Tuple[int, int, int]
+    div: int = 4
+
+
+def nearest_rows(table, pos, size, scale=None, out_dtype=None):
+    """Nearest-neighbor sample of a NearestTable at voxel positions `pos`
+    with dynamic valid extent `size` (zeros outside). Returns (P, C)."""
+    D, H, W = table.shape
+    wdt = out_dtype if out_dtype is not None else jnp.float32
+    c = jnp.round(pos).astype(jnp.int32)
+    inb = jnp.all((c >= 0) & (c < size), axis=-1)
+    cc = jnp.clip(c, 0, jnp.asarray([D - 1, H - 1, W - 1]))
+    idx = (cc[:, 0] * H + cc[:, 1]) * W + cc[:, 2]
+    out = table.rows[idx].astype(wdt) * inb.astype(wdt)[:, None]
+    if scale is not None:
+        out = out * scale.astype(wdt)[None, :]
+    return out
+
+
 def quantize_volume_i4(vol, eps=1e-8):
     """Per-channel symmetric int4 quantization of a signed field, two
     channels packed per byte (split-pack: low nibbles = channels

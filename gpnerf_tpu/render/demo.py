@@ -97,7 +97,7 @@ class Renderer(BaseRenderer):
                  occupancy_threshold=0.1, compute_dtype=None, tight_cull=False,
                  samples_per_ray=24, quantize_volume=False, tap_window=0,
                  merge_coarse_octet=False, fold_coarse_fc=False,
-                 int4_coarse=False, dense_conv=False,
+                 int4_coarse=False, coarse_nearest=0, dense_conv=False,
                  merge_src_feat=False, merge_lowres_src=False,
                  frame_mode=False, dense_slots=False,
                  window_margin_voxels=6.0, splat_bins=False,
@@ -150,6 +150,19 @@ class Renderer(BaseRenderer):
         # row bytes again); needs the signed folded field + quantization
         self.int4_coarse = (
             bool(int4_coarse) and self.fold_coarse_fc and bool(quantize_volume)
+        )
+        # nearest-neighbor coarse sampling (64 B/point vs the 512 B octet
+        # row): 0 = off, 1 = nearest at the native level-2 grid, 2 =
+        # nearest at the level-1 grid (field upsampled once per frame);
+        # folded+quantized only, quality-gated by the full-set sweep
+        self.coarse_nearest = (
+            int(coarse_nearest)
+            if (
+                self.fold_coarse_fc
+                and bool(quantize_volume)
+                and not self.int4_coarse
+            )
+            else 0
         )
         self.dense_conv = bool(dense_conv)
         self.merge_src_feat = bool(merge_src_feat)
@@ -1060,6 +1073,35 @@ class Renderer(BaseRenderer):
                     )
                     octet_scales.append(sc)
                     continue
+                if i == 1 and self.coarse_nearest:
+                    # folded coarse, nearest-sampled: flat per-voxel i8 rows
+                    # (64 B/point vs the 512 B trilinear octet row). At
+                    # coarse_nearest >= 2 the field is first upsampled onto
+                    # the level-1 grid (dense separable matmuls) so the
+                    # piecewise-constant step halves — total table bytes
+                    # match the level-2 octet form, per-point gather bytes
+                    # stay 8x lower
+                    from gpnerf_tpu.ops.grid_sample import (
+                        NearestTable,
+                        quantize_image_i8,
+                    )
+
+                    if self.coarse_nearest >= 2:
+                        vol = resample_volume_to(
+                            vol, tuple(grids[1].shape), out_sh // 2,
+                            out_sh // 4,
+                        )
+                        div = 2
+                    else:
+                        div = 4
+                    q, sc = quantize_image_i8(vol)
+                    octet_vols.append(
+                        NearestTable(
+                            q.reshape(-1, q.shape[-1]), vol.shape[:3], div
+                        )
+                    )
+                    octet_scales.append(sc)
+                    continue
                 if i == 1 and self.int4_coarse:
                     # folded coarse, int4 split-packed: 2 channels/byte
                     from gpnerf_tpu.ops.grid_sample import (
@@ -1637,6 +1679,7 @@ def build_render(cfg):
         merge_coarse_octet=cfg.tpu.merge_coarse_octet,
         fold_coarse_fc=cfg.tpu.fold_coarse_fc,
         int4_coarse=cfg.tpu.int4_coarse,
+        coarse_nearest=cfg.tpu.coarse_nearest,
         dense_conv=cfg.tpu.dense_conv,
         merge_src_feat=cfg.tpu.merge_src_feat,
         merge_lowres_src=cfg.tpu.merge_lowres_src,

@@ -319,3 +319,76 @@ def test_octet_scatter_build_matches_concat_build():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_nearest_table_semantics_and_upsample_accuracy():
+    """NearestTable (tpu.coarse_nearest): exact at grid points, zero
+    outside the dynamic extent, and the level-1-grid upsampled form
+    (div=2) approximates the trilinear field strictly better than
+    nearest at the native coarse grid (div=4)."""
+    from gpnerf_tpu.ops.grid_sample import (
+        NearestTable,
+        build_octet_table_3d,
+        nearest_rows,
+        quantize_image_i8,
+        resample_volume_to,
+        trilinear_octet_rows,
+    )
+
+    rng = np.random.default_rng(3)
+    D, H, W, C = 6, 7, 5, 8
+    # smooth signed field (the folded coarse features are smooth and
+    # signed): low-frequency mixture so interpolation order matters
+    g = np.stack(
+        np.meshgrid(
+            np.linspace(0, 1, D), np.linspace(0, 1, H),
+            np.linspace(0, 1, W), indexing="ij",
+        ),
+        axis=-1,
+    )
+    freqs = rng.normal(size=(3, C))
+    vol = jnp.asarray(
+        np.sin(2.5 * g @ freqs + rng.normal(size=C)).astype(np.float32)
+    )
+    q, sc = quantize_image_i8(vol)
+    tab1 = NearestTable(q.reshape(-1, C), (D, H, W), 4)
+    dyn = jnp.asarray([D, H - 1, W], jnp.int32)
+
+    # exact at grid points (inside the dynamic extent)
+    pts = jnp.asarray(
+        [[0, 0, 0], [D - 1, 0, W - 1], [2, H - 2, 3]], jnp.float32
+    )
+    out = nearest_rows(tab1, pts, dyn, scale=sc)
+    expect = np.asarray(q).reshape(D, H, W, C)[
+        tuple(np.asarray(pts, np.int32).T)
+    ].astype(np.float32) * np.asarray(sc)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
+
+    # zero outside the dynamic extent (matches octet-table cull semantics)
+    out_oob = nearest_rows(
+        tab1,
+        jnp.asarray([[0, H - 1.4, 0], [-0.6, 0, 0]], jnp.float32),
+        dyn, scale=sc,
+    )
+    np.testing.assert_array_equal(np.asarray(out_oob), 0.0)
+
+    # accuracy ladder vs the f32 trilinear field on the SAME positions;
+    # mirror query_octet2: frac of the level-0 extent mapped per-grid
+    out_sh = jnp.asarray([4 * D - 3, 4 * H - 2, 4 * W - 1], jnp.int32)
+    frac = jnp.asarray(
+        rng.uniform(0.02, 0.95, size=(4096, 3)).astype(np.float32)
+    )
+    size4 = out_sh // 4
+    ref = trilinear_octet_rows(
+        build_octet_table_3d(vol), frac * (size4 - 1), size4
+    )
+    near4 = nearest_rows(tab1, frac * (size4 - 1), size4, scale=sc)
+    up_sh = (2 * D, 2 * H, 2 * W)
+    vol_up = resample_volume_to(vol, up_sh, out_sh // 2, out_sh // 4)
+    q2, sc2 = quantize_image_i8(vol_up)
+    tab2 = NearestTable(q2.reshape(-1, C), up_sh, 2)
+    size2 = out_sh // 2
+    near2 = nearest_rows(tab2, frac * (size2 - 1), size2, scale=sc2)
+    e4 = float(jnp.abs(near4 - ref).mean())
+    e2 = float(jnp.abs(near2 - ref).mean())
+    assert e2 < 0.6 * e4, (e2, e4)
