@@ -316,6 +316,16 @@ cfg.tpu.int4_coarse = False
 # vs 22.705 / 0.9241 trilinear, 27.9 vs 26.5 fps (r4); the level-2-grid
 # form (1) is faster still (29.8 fps) but costs 0.2 dB.
 cfg.tpu.coarse_nearest = 2
+# sample the LEVEL-1 table from 32 B/point flat rows instead of the
+# 256 B octet row (drops the corner-scatter table build). 0 = off
+# (trilinear octet), 1 = nearest at the native level-1 grid, 2 = nearest
+# at the half-voxel grid (u8 midpoint-interleave doubling once per frame
+# — measured OFF: the 8x table thrashes the gathers, 15 fps), 10+bitmask
+# (bit 0 = d, 1 = h, 2 = w) = LINEAR along the set axes / nearest on the
+# rest, 2^popcount corner gathers (17 = full trilinear from flat rows).
+# The level-1 field is the sharp local one, so every value is
+# quality-gated by the full-set sweep before any default change.
+cfg.tpu.l1_nearest = 0
 # matmul precision: 'bfloat16' or 'float32'
 cfg.tpu.matmul_dtype = "bfloat16"
 # training compute precision for the BaseRender train step: 'float32'

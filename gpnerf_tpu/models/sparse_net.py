@@ -189,6 +189,9 @@ class SparseConvNet(nn.Module):
         for i, tab in enumerate((octet_l1, octet_coarse)):
             if isinstance(tab, NearestTable):
                 size = out_sh_dyn // tab.div
+                if tab.interleave > 1:
+                    # midpoint-doubled grid: s valid points became 2s-1
+                    size = tab.interleave * (size - 1) + 1
                 fn = nearest_rows
             else:
                 size = out_sh_dyn // (2 ** (i + 1))

@@ -473,13 +473,16 @@ def _axis_resample_matrix(n_out_max, n_in_max, n_out_dyn, n_in_dyn,
     return m * valid
 
 
-def resample_volume_to(vol, out_shape_max, size_out_dyn, size_in_dyn):
+def resample_volume_to(vol, out_shape_max, size_out_dyn, size_in_dyn,
+                       dtype=None):
     """Trilinear-resample a (D, H, W, C) align-corners field onto a finer
     grid (out_shape_max static buffer, size_out_dyn valid extent) via three
-    separable interpolation matmuls — dense MXU work, zero gathers."""
+    separable interpolation matmuls — dense MXU work, zero gathers.
+    `dtype`: compute/output dtype (default f32; bf16 halves the HBM
+    traffic of the intermediate volumes for large targets)."""
     Do, Ho, Wo = out_shape_max
     Dd, Hd, Wd = vol.shape[:3]
-    dt = jnp.float32
+    dt = jnp.float32 if dtype is None else dtype
     md = _axis_resample_matrix(Do, Dd, size_out_dyn[0], size_in_dyn[0], dt)
     mh = _axis_resample_matrix(Ho, Hd, size_out_dyn[1], size_in_dyn[1], dt)
     mw = _axis_resample_matrix(Wo, Wd, size_out_dyn[2], size_in_dyn[2], dt)
@@ -535,23 +538,96 @@ class NearestTable(NamedTuple):
     divisor relative to the level-0 voxel extent (4 = the native level-2
     coarse grid; 2 = the field pre-upsampled onto the level-1 grid, which
     halves the piecewise-constant step at the same per-point gather
-    bytes)."""
+    bytes). `interleave` = 2 marks a table whose grid was midpoint-doubled
+    along each axis (interleave_midpoints_3d): a valid extent of s at
+    divisor `div` becomes 2s-1 table points, i.e. half-step rounding on
+    the original grid."""
 
     rows: jnp.ndarray  # (D*H*W, C)
     shape: Tuple[int, int, int]
     div: int = 4
+    interleave: int = 1
+    # d/h/w bitmask (bit 0 = d) of axes sampled LINEARLY instead of
+    # rounded: each set bit doubles the row gathers (2^popcount corners
+    # of C bytes each) but restores exact interpolation along that axis
+    # — the middle rungs between pure nearest (1 gather) and full
+    # trilinear (8)
+    lerp_axes: int = 0
+
+
+def interleave_midpoints_3d(vol):
+    """Midpoint-double a (D, H, W, C) uint8 field along each spatial axis:
+    (2D-1, 2H-1, 2W-1, C), even indices = original points, odd = exact
+    rounded averages of their neighbors (int16 math, no f32 volumes).
+    This IS align-corners trilinear 2x upsampling restricted to the
+    half-grid, so nearest sampling of the result rounds positions to half
+    a source voxel. Built from stack+reshape (layout-friendly copies, no
+    matmuls) — measured orders cheaper than a dense resample_volume_to on
+    level-1-sized volumes."""
+
+    def double(v, axis):
+        n = v.shape[axis]
+        sl = [slice(None)] * v.ndim
+        sl_a = list(sl); sl_a[axis] = slice(0, n - 1)
+        sl_b = list(sl); sl_b[axis] = slice(1, n)
+        a = v[tuple(sl_a)]
+        b = v[tuple(sl_b)]
+        mid = (
+            (a.astype(jnp.int16) + b.astype(jnp.int16) + 1) >> 1
+        ).astype(jnp.uint8)
+        pairs = jnp.stack([a, mid], axis=axis + 1)
+        new_shape = list(v.shape)
+        new_shape[axis] = 2 * (n - 1)
+        pairs = pairs.reshape(new_shape)
+        sl_last = list(sl); sl_last[axis] = slice(n - 1, n)
+        return jnp.concatenate([pairs, v[tuple(sl_last)]], axis=axis)
+
+    for ax in range(3):
+        vol = double(vol, ax)
+    return vol
 
 
 def nearest_rows(table, pos, size, scale=None, out_dtype=None):
     """Nearest-neighbor sample of a NearestTable at voxel positions `pos`
-    with dynamic valid extent `size` (zeros outside). Returns (P, C)."""
+    with dynamic valid extent `size` (zeros outside). Axes flagged in
+    table.lerp_axes are sampled LINEARLY (floor/ceil corner pair) with
+    per-corner zeros-outside masking, matching trilinear_dense_rows'
+    zero-padding semantics on those axes. Returns (P, C)."""
     D, H, W = table.shape
     wdt = out_dtype if out_dtype is not None else jnp.float32
-    c = jnp.round(pos).astype(jnp.int32)
-    inb = jnp.all((c >= 0) & (c < size), axis=-1)
-    cc = jnp.clip(c, 0, jnp.asarray([D - 1, H - 1, W - 1]))
-    idx = (cc[:, 0] * H + cc[:, 1]) * W + cc[:, 2]
-    out = table.rows[idx].astype(wdt) * inb.astype(wdt)[:, None]
+    axes = [a for a in range(3) if (table.lerp_axes >> a) & 1]
+    if not axes:
+        c = jnp.round(pos).astype(jnp.int32)
+        inb = jnp.all((c >= 0) & (c < size), axis=-1)
+        cc = jnp.clip(c, 0, jnp.asarray([D - 1, H - 1, W - 1]))
+        idx = (cc[:, 0] * H + cc[:, 1]) * W + cc[:, 2]
+        out = table.rows[idx].astype(wdt) * inb.astype(wdt)[:, None]
+        if scale is not None:
+            out = out * scale.astype(wdt)[None, :]
+        return out
+
+    import itertools as _it
+
+    base = jnp.round(pos).astype(jnp.int32)
+    fl = jnp.floor(pos)
+    frac = (pos - fl).astype(wdt)
+    base = base.at[:, jnp.asarray(axes)].set(
+        fl.astype(jnp.int32)[:, jnp.asarray(axes)]
+    )
+    lim = jnp.asarray([D - 1, H - 1, W - 1])
+    out = jnp.zeros((pos.shape[0], table.rows.shape[-1]), wdt)
+    for combo in _it.product((0, 1), repeat=len(axes)):
+        c = base
+        w = jnp.ones((pos.shape[0],), wdt)
+        for a, hi in zip(axes, combo):
+            c = c.at[:, a].add(hi)
+            w = w * (frac[:, a] if hi else 1.0 - frac[:, a])
+        inb = jnp.all((c >= 0) & (c < size), axis=-1)
+        cc = jnp.clip(c, 0, lim)
+        idx = (cc[:, 0] * H + cc[:, 1]) * W + cc[:, 2]
+        out = out + table.rows[idx].astype(wdt) * (
+            w * inb.astype(wdt)
+        )[:, None]
     if scale is not None:
         out = out * scale.astype(wdt)[None, :]
     return out

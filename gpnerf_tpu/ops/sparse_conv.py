@@ -393,7 +393,9 @@ def scatter_dense_rows(feats, grid: SparseGrid):
         :, 2
     ]
     safe = jnp.where(grid.valid, flat_idx, D * H * W)
-    vals = jnp.where(grid.valid[:, None], feats, 0.0)
+    vals = jnp.where(
+        grid.valid[:, None], feats, jnp.zeros((), dtype=feats.dtype)
+    )
     return (
         jnp.zeros((D * H * W, C), dtype=feats.dtype)
         .at[safe]

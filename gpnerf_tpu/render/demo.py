@@ -97,7 +97,8 @@ class Renderer(BaseRenderer):
                  occupancy_threshold=0.1, compute_dtype=None, tight_cull=False,
                  samples_per_ray=24, quantize_volume=False, tap_window=0,
                  merge_coarse_octet=False, fold_coarse_fc=False,
-                 int4_coarse=False, coarse_nearest=0, dense_conv=False,
+                 int4_coarse=False, coarse_nearest=0, l1_nearest=False,
+                 dense_conv=False,
                  merge_src_feat=False, merge_lowres_src=False,
                  frame_mode=False, dense_slots=False,
                  window_margin_voxels=6.0, splat_bins=False,
@@ -163,6 +164,13 @@ class Renderer(BaseRenderer):
                 and not self.int4_coarse
             )
             else 0
+        )
+        # nearest-sampled level-1 table (32 B/point flat rows): 0 = off,
+        # 1 = at its native level-1 grid, 2 = at the level-0 grid (field
+        # upsampled once per frame); quantized sparse-build path only,
+        # quality-gated by the full-set sweep
+        self.l1_nearest = (
+            int(l1_nearest) if bool(quantize_volume) else 0
         )
         self.dense_conv = bool(dense_conv)
         self.merge_src_feat = bool(merge_src_feat)
@@ -1066,6 +1074,57 @@ class Renderer(BaseRenderer):
                         g1.valid[:, None], level_feats[0], 0.0
                     )
                     q_rows, sc = quantize_volume_u8(rows0)
+                    if self.l1_nearest:
+                        # nearest-sampled level-1: ONE scatter of the
+                        # active rows into a flat (D*H*W, C) u8 table —
+                        # 32 B/point gathers (vs the 256 B octet row), no
+                        # 8-corner weighted sum, and no 8x corner-scatter
+                        # table build. At l1_nearest >= 2 the field is
+                        # first trilinearly upsampled onto the level-0
+                        # grid (bf16 separable matmuls) so the
+                        # piecewise-constant step halves to half a
+                        # level-0 voxel
+                        from gpnerf_tpu.ops.grid_sample import NearestTable
+                        from gpnerf_tpu.ops.sparse_conv import (
+                            scatter_dense_rows,
+                        )
+
+                        flat_rows = scatter_dense_rows(q_rows, g1)
+                        if self.l1_nearest >= 10:
+                            # 10 + d/h/w bitmask: LINEAR along the set
+                            # axes from the same flat rows (2^popcount
+                            # 32 B corner gathers), nearest on the rest
+                            octet_vols.append(
+                                NearestTable(
+                                    flat_rows, tuple(g1.shape), 2, 1,
+                                    self.l1_nearest - 10,
+                                )
+                            )
+                        elif self.l1_nearest >= 2:
+                            # exact u8 midpoint-interleave doubling (int16
+                            # math, stack+reshape copies): half-voxel
+                            # rounding, no f32 volumes. A dense bf16
+                            # resample_volume_to here measured 34 ms/frame
+                            # of relayout copies — rejected
+                            from gpnerf_tpu.ops.grid_sample import (
+                                interleave_midpoints_3d,
+                            )
+
+                            C1 = q_rows.shape[-1]
+                            up = interleave_midpoints_3d(
+                                flat_rows.reshape(tuple(g1.shape) + (C1,))
+                            )
+                            octet_vols.append(
+                                NearestTable(
+                                    up.reshape(-1, C1), up.shape[:3], 2, 2
+                                )
+                            )
+                        else:
+                            octet_vols.append(
+                                NearestTable(flat_rows, tuple(g1.shape), 2)
+                            )
+                        octet_scales.append(sc)
+                        continue
                     octet_vols.append(
                         build_octet_table_scatter(
                             q_rows, g1.coords, g1.valid, g1.shape
@@ -1680,6 +1739,7 @@ def build_render(cfg):
         fold_coarse_fc=cfg.tpu.fold_coarse_fc,
         int4_coarse=cfg.tpu.int4_coarse,
         coarse_nearest=cfg.tpu.coarse_nearest,
+        l1_nearest=cfg.tpu.l1_nearest,
         dense_conv=cfg.tpu.dense_conv,
         merge_src_feat=cfg.tpu.merge_src_feat,
         merge_lowres_src=cfg.tpu.merge_lowres_src,

@@ -392,3 +392,105 @@ def test_nearest_table_semantics_and_upsample_accuracy():
     e4 = float(jnp.abs(near4 - ref).mean())
     e2 = float(jnp.abs(near2 - ref).mean())
     assert e2 < 0.6 * e4, (e2, e4)
+
+
+def test_interleave_midpoints_matches_halfgrid_trilinear():
+    """interleave_midpoints_3d (tpu.l1_nearest=2): exact midpoint doubling
+    of a uint8 field — even indices are the original points, odd indices
+    rounded neighbor averages, i.e. align-corners trilinear 2x upsampling
+    restricted to the half-grid (to u8 rounding: <= 0.5/axis)."""
+    from gpnerf_tpu.ops.grid_sample import (
+        NearestTable,
+        interleave_midpoints_3d,
+        nearest_rows,
+        resample_volume_to,
+    )
+
+    rng = np.random.default_rng(11)
+    D, H, W, C = 5, 4, 6, 3
+    vol = jnp.asarray(
+        rng.integers(0, 256, size=(D, H, W, C), dtype=np.uint8)
+    )
+    up = interleave_midpoints_3d(vol)
+    assert up.shape == (2 * D - 1, 2 * H - 1, 2 * W - 1, C)
+    # even indices: identity (the original grid points)
+    np.testing.assert_array_equal(
+        np.asarray(up)[::2, ::2, ::2], np.asarray(vol)
+    )
+    # the whole doubled field is the align-corners trilinear 2x upsample
+    # sampled at half-integers, within the per-axis u8 rounding (<= 0.5
+    # per doubling pass, three passes)
+    sh2 = (2 * D - 1, 2 * H - 1, 2 * W - 1)
+    ref = resample_volume_to(
+        vol.astype(jnp.float32), sh2,
+        jnp.asarray(sh2, jnp.int32), jnp.asarray([D, H, W], jnp.int32),
+    )
+    diff = np.abs(np.asarray(up, np.float32) - np.asarray(ref))
+    assert diff.max() <= 1.5 + 1e-3, diff.max()
+    # nearest_rows through the doubled table at doubled-grid units (the
+    # query_octet2 interleave mapping: size s -> 2s-1) returns the original
+    # values at even positions
+    tab = NearestTable(up.reshape(-1, C), sh2, 2, 2)
+    pts = jnp.asarray([[0, 0, 0], [D - 1, H - 1, W - 1], [2, 1, 3]],
+                      jnp.float32) * 2.0
+    out = nearest_rows(tab, pts, jnp.asarray(sh2, jnp.int32))
+    expect = np.asarray(vol)[
+        tuple((np.asarray(pts, np.int32) // 2).T)
+    ].astype(np.float32)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
+
+
+def test_nearest_table_lerp_axes_matches_trilinear():
+    """NearestTable.lerp_axes (tpu.l1_nearest = 10+bitmask): the full
+    bitmask (7) reproduces trilinear_dense_rows exactly (zeros padding),
+    and single-axis lerp is strictly more accurate than pure nearest on
+    a smooth field."""
+    from gpnerf_tpu.ops.grid_sample import (
+        NearestTable,
+        nearest_rows,
+        trilinear_dense_rows,
+    )
+
+    rng = np.random.default_rng(5)
+    D, H, W, C = 6, 7, 5, 8
+    g = np.stack(
+        np.meshgrid(
+            np.linspace(0, 1, D), np.linspace(0, 1, H),
+            np.linspace(0, 1, W), indexing="ij",
+        ),
+        axis=-1,
+    )
+    freqs = rng.normal(size=(3, C))
+    vol = jnp.asarray(
+        np.sin(2.0 * g @ freqs + rng.normal(size=C)).astype(np.float32)
+    )
+    dyn = jnp.asarray([D, H - 1, W], jnp.int32)
+    pos = jnp.asarray(
+        np.concatenate(
+            [
+                rng.uniform(-1.2, max(D, H, W), size=(800, 3)),
+                # exactly-on-grid and boundary positions
+                [[0, 0, 0], [D - 1, 0, W - 1], [2.0, H - 2, 3.0]],
+            ]
+        ).astype(np.float32)
+    )
+    ref = trilinear_dense_rows(vol, pos, dyn_size=dyn)
+    tab7 = NearestTable(vol.reshape(-1, C), (D, H, W), 2, 1, 7)
+    out7 = nearest_rows(tab7, pos, dyn)
+    np.testing.assert_allclose(
+        np.asarray(out7), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+    # accuracy ladder on interior points: nearest < single-axis < full
+    interior = jnp.asarray(
+        rng.uniform(0.5, min(D, H - 1, W) - 1.5, size=(4096, 3)).astype(
+            np.float32
+        )
+    )
+    ref_i = trilinear_dense_rows(vol, interior, dyn_size=dyn)
+    errs = {}
+    for bits in (0, 1, 2, 4):
+        tab = NearestTable(vol.reshape(-1, C), (D, H, W), 2, 1, bits)
+        errs[bits] = float(
+            jnp.abs(nearest_rows(tab, interior, dyn) - ref_i).mean()
+        )
+    assert all(errs[b] < errs[0] for b in (1, 2, 4)), errs
