@@ -1,18 +1,30 @@
-"""Isosurface extraction (host-side numpy, marching tetrahedra).
+"""Isosurface extraction (host-side numpy).
 
 Replaces PyMCubes (`mcubes.marching_cubes(cube, th)`,
 /root/reference/libs/renders/BaseRender.py:270 and demo_render.py:372) —
 neither PyMCubes nor skimage is available in this environment.
 
-Design note (documented deviation): instead of classic marching cubes with
-the 256-case connectivity tables, each cell is decomposed into 6 tetrahedra
-and each tetrahedron's isosurface patch is derived from first principles
-(4 signs -> 0/3/6 triangle vertices). The result is a watertight isosurface
-of the same field at the same isolevel with the same edge-interpolated
-vertex positions; it tessellates more finely than MC (~2x triangles), which
-is irrelevant to the mesh consumers (export / visualization,
-libs/evaluators/if_nerf_mesh.py:49-60). Vertices are in index coordinates,
-matching mcubes' convention.
+Two extractors:
+
+* `marching_cubes` (default, used by the mesh evaluators): CLASSIC
+  marching cubes — one vertex per cut cube edge at the linear-interpolated
+  crossing (exactly PyMCubes' vertex placement), triangles from a 256-case
+  connectivity table. The table is DERIVED here at import time rather than
+  transcribed: each case's surface polygons are traced from a per-face
+  marching-squares rule (ambiguous faces — two diagonal corners above —
+  always SEPARATE the above corners, i.e. the face center is treated as
+  below the isolevel). Because the rule depends only on the face's own
+  corner signs, adjacent cells make identical decisions and the mesh is
+  watertight by construction — strictly stronger than the classic
+  Lorensen–Cline table, whose fixed ambiguity resolutions are known to
+  leave cracks. Triangles are consistently oriented (outward from the
+  above-isolevel region, positive enclosed volume).
+
+* `marching_tetrahedra`: the round-1..4 extractor (6-tet decomposition,
+  ~2x triangles), kept for cross-validation: both tessellate the same
+  field and must enclose the same volume.
+
+Vertices are in index coordinates, matching mcubes' convention.
 """
 
 from __future__ import annotations
@@ -70,60 +82,104 @@ def _tet_cases():
 _CASES = _tet_cases()
 
 
-def marching_cubes(volume, isolevel):
-    """volume: (X, Y, Z) scalar field. Returns (vertices (N, 3) float64 in
-    (x, y, z) index coordinates, triangles (M, 3) int64), deduplicating
-    shared edge vertices."""
-    vol = np.asarray(volume, np.float64)
-    X, Y, Z = vol.shape
-    if min(X, Y, Z) < 2:
-        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+# ----------------------------------------------------------------------
+# classic marching cubes: derived 256-case table
+# ----------------------------------------------------------------------
 
-    # per-cell corner values: (C, 8) over active cells only
-    corner_vals = np.empty((X - 1, Y - 1, Z - 1, 8), np.float64)
-    for c, (cx, cy, cz) in enumerate(_CORNERS):
-        corner_vals[..., c] = vol[cx : cx + X - 1, cy : cy + Y - 1, cz : cz + Z - 1]
-    above8 = corner_vals > isolevel
-    any_above = above8.any(-1)
-    all_above = above8.all(-1)
-    active = any_above & ~all_above
-    if not active.any():
-        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
-    cells = np.argwhere(active).astype(np.int64)  # (C, 3) (x, y, z)
-    cvals = corner_vals[active]  # (C, 8)
-    cabove = above8[active]
+# the 12 cube edges as unordered corner-id pairs; edge id = index here
+_MC_EDGES = [
+    (0, 1), (1, 3), (2, 3), (0, 2),   # z = 0 ring
+    (4, 5), (5, 7), (6, 7), (4, 6),   # z = 1 ring
+    (0, 4), (1, 5), (3, 7), (2, 6),   # verticals
+]
+_EDGE_ID = {frozenset(e): i for i, e in enumerate(_MC_EDGES)}
 
-    # collect triangles as edge keys; an edge key identifies the global
-    # (unordered) corner pair so shared vertices deduplicate
-    def corner_key(cell, cid):
-        p = cell + _CORNERS[cid]
-        return (p[:, 0] * (Y + 1) + p[:, 1]) * (Z + 1) + p[:, 2]
 
-    tri_edge_a = []
-    tri_edge_b = []  # parallel lists of (T, 3) corner-key pairs
-    tri_cells = []
-    for t in range(6):
-        tet = _TETS[t]
-        tmask = np.zeros(len(cells), np.int64)
+def _mc_faces():
+    """The 6 cube faces, each as 4 corner ids in counterclockwise order
+    when viewed from OUTSIDE the cube."""
+    faces = []
+    for axis in range(3):
+        for side in (0, 1):
+            ids = [c for c in range(8) if _CORNERS[c][axis] == side]
+            n_out = np.zeros(3)
+            n_out[axis] = -1.0 if side == 0 else 1.0
+            # in-plane right-handed basis (u, v, n_out)
+            u = np.zeros(3)
+            u[(axis + 1) % 3] = 1.0
+            v = np.cross(n_out, u)
+            pos = _CORNERS[ids].astype(np.float64)
+            ctr = pos.mean(axis=0)
+            ang = np.arctan2((pos - ctr) @ v, (pos - ctr) @ u)
+            faces.append([ids[i] for i in np.argsort(ang)])
+    return faces
+
+
+_MC_FACES = _mc_faces()
+
+
+def _mc_case_triangles(case):
+    """Trace the isosurface polygons of one corner-sign configuration.
+
+    Per face, marching squares emits directed segments between the face's
+    cut sides — directed so the ABOVE region lies to the left when viewed
+    from outside the cube (entering side: below->above walking the face
+    CCW). A cut cube edge borders exactly two faces whose CCW orders
+    traverse it oppositely, so it is the head of exactly one segment and
+    the tail of exactly one other: the segment graph is a union of
+    directed cycles. Each cycle, fan-triangulated, is one surface polygon;
+    the direction convention makes the triangle normals consistent
+    (outward from the above region)."""
+    above = [(case >> c) & 1 for c in range(8)]
+    out_map = {}
+    for fc in _MC_FACES:
+        cut = []  # (side index i, tail?) for sides (fc[i], fc[i+1])
         for i in range(4):
-            tmask |= cabove[:, tet[i]].astype(np.int64) << i
-        for mask in range(1, 15):
-            m = tmask == mask
-            if not m.any():
-                continue
-            for tri in _CASES[mask]:
-                a_ids = np.array([tet[e[0]] for e in tri], np.int64)
-                b_ids = np.array([tet[e[1]] for e in tri], np.int64)
-                cell_sel = cells[m]
-                ka = np.stack([corner_key(cell_sel, a) for a in a_ids], -1)
-                kb = np.stack([corner_key(cell_sel, b) for b in b_ids], -1)
-                tri_edge_a.append(ka)
-                tri_edge_b.append(kb)
-                tri_cells.append(np.stack([cell_sel] * 3, 1))
+            a, b = fc[i], fc[(i + 1) % 4]
+            if above[a] != above[b]:
+                cut.append(i)
+        if not cut:
+            continue
+        if len(cut) == 2:
+            i1, i2 = cut
+            a1, b1 = fc[i1], fc[(i1 + 1) % 4]
+            e1 = _EDGE_ID[frozenset((a1, b1))]
+            a2, b2 = fc[i2], fc[(i2 + 1) % 4]
+            e2 = _EDGE_ID[frozenset((a2, b2))]
+            if not above[a1] and above[b1]:  # e1 enters the above region
+                out_map[e1] = e2
+            else:
+                out_map[e2] = e1
+        else:  # 4 cut sides: signs alternate; separate the above corners
+            for i in range(4):
+                c = fc[i]
+                if above[c]:
+                    e_in = _EDGE_ID[frozenset((fc[(i - 1) % 4], c))]
+                    e_out = _EDGE_ID[frozenset((c, fc[(i + 1) % 4]))]
+                    out_map[e_in] = e_out
+    tris = []
+    remaining = dict(out_map)
+    while remaining:
+        start = next(iter(remaining))
+        cyc = [start]
+        nxt = remaining.pop(start)
+        while nxt != start:
+            cyc.append(nxt)
+            nxt = remaining.pop(nxt)
+        for i in range(1, len(cyc) - 1):
+            tris.append((cyc[0], cyc[i], cyc[i + 1]))
+    return tris
 
-    ka = np.concatenate(tri_edge_a)  # (T, 3)
-    kb = np.concatenate(tri_edge_b)
-    # canonicalize edge key as (min, max) pair
+
+_MC_TABLE = [_mc_case_triangles(case) for case in range(256)]
+
+
+def _dedup_and_interp(vol, isolevel, ka, kb, shape):
+    """Shared tail of both extractors: triangles arrive as (T, 3) pairs of
+    global corner keys (ka, kb) per vertex; deduplicate the unordered edge
+    keys, linearly interpolate one vertex per unique cut edge
+    (t = (iso - va) / (vb - va), PyMCubes' placement), drop degenerates."""
+    X, Y, Z = shape
     lo = np.minimum(ka, kb)
     hi = np.maximum(ka, kb)
     nkeys = (X + 1) * (Y + 1) * (Z + 1)
@@ -133,7 +189,6 @@ def marching_cubes(volume, isolevel):
     uniq, inv = np.unique(flat, return_inverse=True)
     triangles = inv.reshape(-1, 3)
 
-    # interpolate one vertex per unique edge
     ulo = (uniq // nkeys).astype(np.int64)
     uhi = (uniq % nkeys).astype(np.int64)
 
@@ -154,10 +209,106 @@ def marching_cubes(volume, isolevel):
     tvals = np.clip(tvals, 0.0, 1.0)
     vertices = pa + tvals[:, None] * (pb - pa)
 
-    # drop degenerate triangles (two identical vertices)
     good = (
         (triangles[:, 0] != triangles[:, 1])
         & (triangles[:, 1] != triangles[:, 2])
         & (triangles[:, 0] != triangles[:, 2])
     )
     return vertices, triangles[good]
+
+
+def _corner_keys(cells, cids, Y, Z):
+    """Global grid-corner key for corner id `cids` of each cell."""
+    p = cells + _CORNERS[cids]
+    return (p[:, 0] * (Y + 1) + p[:, 1]) * (Z + 1) + p[:, 2]
+
+
+def _active_cells(vol, isolevel):
+    X, Y, Z = vol.shape
+    corner_vals = np.empty((X - 1, Y - 1, Z - 1, 8), np.float64)
+    for c, (cx, cy, cz) in enumerate(_CORNERS):
+        corner_vals[..., c] = vol[cx : cx + X - 1, cy : cy + Y - 1,
+                                  cz : cz + Z - 1]
+    above8 = corner_vals > isolevel
+    active = above8.any(-1) & ~above8.all(-1)
+    cells = np.argwhere(active).astype(np.int64)  # (C, 3)
+    return cells, above8[active]
+
+
+def marching_cubes(volume, isolevel):
+    """Classic marching cubes. volume: (X, Y, Z) scalar field. Returns
+    (vertices (N, 3) float64 in (x, y, z) index coordinates, triangles
+    (M, 3) int64) — one vertex per cut grid edge (deduplicated across
+    cells), consistently outward-oriented triangles."""
+    vol = np.asarray(volume, np.float64)
+    X, Y, Z = vol.shape
+    if min(X, Y, Z) < 2:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    cells, cabove = _active_cells(vol, isolevel)
+    if len(cells) == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+
+    case_idx = (cabove.astype(np.int64) << np.arange(8)).sum(axis=1)
+    tri_a, tri_b = [], []
+    for case in np.unique(case_idx):
+        tris = _MC_TABLE[case]
+        if not tris:
+            continue
+        cell_sel = cells[case_idx == case]
+        for tri in tris:
+            a_ids = np.array([_MC_EDGES[e][0] for e in tri], np.int64)
+            b_ids = np.array([_MC_EDGES[e][1] for e in tri], np.int64)
+            ka = np.stack([_corner_keys(cell_sel, a, Y, Z) for a in a_ids], -1)
+            kb = np.stack([_corner_keys(cell_sel, b, Y, Z) for b in b_ids], -1)
+            tri_a.append(ka)
+            tri_b.append(kb)
+    if not tri_a:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    return _dedup_and_interp(
+        vol, isolevel, np.concatenate(tri_a), np.concatenate(tri_b),
+        (X, Y, Z),
+    )
+
+
+def marching_tetrahedra(volume, isolevel):
+    """6-tet decomposition extractor (the round-1..4 `marching_cubes`):
+    same interpolated crossings on a finer (tet-edge) set, ~2x triangles,
+    arbitrary orientation. Kept for cross-validation and as a fallback."""
+    vol = np.asarray(volume, np.float64)
+    X, Y, Z = vol.shape
+    if min(X, Y, Z) < 2:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    cells, cabove = _active_cells(vol, isolevel)
+    if len(cells) == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+
+    tri_edge_a = []
+    tri_edge_b = []  # parallel lists of (T, 3) corner-key pairs
+    for t in range(6):
+        tet = _TETS[t]
+        tmask = np.zeros(len(cells), np.int64)
+        for i in range(4):
+            tmask |= cabove[:, tet[i]].astype(np.int64) << i
+        for mask in range(1, 15):
+            m = tmask == mask
+            if not m.any():
+                continue
+            for tri in _CASES[mask]:
+                a_ids = np.array([tet[e[0]] for e in tri], np.int64)
+                b_ids = np.array([tet[e[1]] for e in tri], np.int64)
+                cell_sel = cells[m]
+                ka = np.stack(
+                    [_corner_keys(cell_sel, a, Y, Z) for a in a_ids], -1
+                )
+                kb = np.stack(
+                    [_corner_keys(cell_sel, b, Y, Z) for b in b_ids], -1
+                )
+                tri_edge_a.append(ka)
+                tri_edge_b.append(kb)
+
+    if not tri_edge_a:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    return _dedup_and_interp(
+        vol, isolevel, np.concatenate(tri_edge_a),
+        np.concatenate(tri_edge_b), (X, Y, Z),
+    )
