@@ -166,11 +166,11 @@ def main():
         jax.block_until_ready(fn(variables, dbs[1 % n_frames]))
 
         # protocol 1: async per-frame loop, best of `reps`
-        loop_dts, rets = [], None
+        loop_dts, disp_dts, rets = [], [], None
         for _ in range(reps):
             t0 = time.perf_counter()
             rets = [fn(variables, b) for b in dbs]
-            dispatch_s = time.perf_counter() - t0
+            disp_dts.append(time.perf_counter() - t0)
             jax.block_until_ready(rets[-1])
             loop_dts.append(time.perf_counter() - t0)
         # per-frame completion stamps (one extra pass; blocking in order —
@@ -224,7 +224,12 @@ def main():
             "fps_loop": n_frames / loop_dt,
             "loop_ms_per_frame": loop_dt / n_frames * 1000.0,
             "loop_reps_ms": [round(d / n_frames * 1e3, 2) for d in loop_dts],
-            "loop_dispatch_ms": round(dispatch_s * 1e3, 2),
+            # dispatch time of the BEST rep (the one loop fps reports), plus
+            # every rep's, so a dispatch-bound session self-diagnoses
+            "loop_dispatch_ms": round(
+                disp_dts[int(np.argmin(loop_dts))] * 1e3, 2
+            ),
+            "loop_dispatch_reps_ms": [round(d * 1e3, 2) for d in disp_dts],
             "frame_ms_spread": [
                 round(float(f), 2)
                 for f in (frame_ms.min(), np.median(frame_ms), frame_ms.max())
@@ -263,6 +268,20 @@ def main():
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
+
+    # every extra mode persists independently (each gated only by its own
+    # env var; BENCH_MODES.json is written after EVERY completed mode so an
+    # externally-timed-out run still leaves the finished ones on disk)
+    modes = {"fast": {**fast_line, **fast}}
+
+    def persist(m):
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_MODES.json"), "w"
+        ) as f:
+            json.dump(m, f, indent=1)
+
+    persist(modes)
 
     # Reference-semantics mode (VERDICT r2 #3): exact demo_render.py:270-283
     # cull — sum-over-levels occupancy blanket, all 64 kept samples, raised
@@ -304,59 +323,48 @@ def main():
             f"{ref['overflows']}; max counts={ref['counts_max']}",
             file=sys.stderr,
         )
-        modes = {"fast": {**fast_line, **fast},
-                 "reference_semantics": {**ref_line, **ref}}
-
-        def persist(m):
-            # write after EVERY completed mode so an externally-timed-out
-            # run still leaves the finished modes on disk
-            with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_MODES.json"), "w"
-            ) as f:
-                json.dump(m, f, indent=1)
-
+        modes["reference_semantics"] = {**ref_line, **ref}
         persist(modes)
 
-        # neg-ray (THuman-convention) progressive render (VERDICT r3 #5):
-        # the same fixture scene served through OpenGL-convention cameras
-        # (scene at negative camera z — what makes the real THuman dataset
-        # neg_ray; CustomDataset.py renders, data_utils.py:123-127). The
-        # published cross-dataset protocol (BASELINE config 5, test.sh:7)
-        # evaluates on ZJU — its eval fps IS the fast mode above — so this
-        # entry measures the path that protocol never touches: full-image
-        # progressive rendering under the flipped parameterization (THuman
-        # quick_val / THuman-eval analog).
-        if os.environ.get("BENCH_NEG", "1") != "0":
-            cfg_neg = cfg.clone()
-            cfg_neg.defrost()
-            cfg_neg.dataset.test.name = "thuman-synthetic"
-            cfg_neg.freeze()
-            render_neg = get("render", cfg_neg.render.file)(cfg_neg)
-            assert render_neg.neg_ray_val
-            neg_host = get_bench_frames(cfg_neg, n_frames)
-            neg_dev = [
-                {k: jnp.asarray(v) for k, v in b.items()} for b in neg_host
-            ]
-            neg = run_mode(render_neg, cfg_neg, reps=2, scan_cycles=3,
-                           batches=neg_dev, host=neg_host)
-            neg_line = {
-                "metric": "neg-ray (THuman-convention) 512x512 progressive"
-                          " render",
-                "value": round(neg["fps"], 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(neg["fps"] / 20.0, 3),
-                "psnr": round(neg["psnr"], 3),
-                "ssim": round(neg["ssim"], 4),
-            }
-            print("# neg-ray " + json.dumps(neg_line), flush=True)
-            print(
-                f"# neg-ray {neg['ms_per_frame']:.1f} ms/frame; max "
-                f"overflows={neg['overflows']}; max counts={neg['counts_max']}",
-                file=sys.stderr,
-            )
-            modes["thuman_neg_ray"] = {**neg_line, **neg}
-            persist(modes)
+    # neg-ray (THuman-convention) progressive render (VERDICT r3 #5):
+    # the same fixture scene served through OpenGL-convention cameras
+    # (scene at negative camera z — what makes the real THuman dataset
+    # neg_ray; CustomDataset.py renders, data_utils.py:123-127). The
+    # published cross-dataset protocol (BASELINE config 5, test.sh:7)
+    # evaluates on ZJU — its eval fps IS the fast mode above — so this
+    # entry measures the path that protocol never touches: full-image
+    # progressive rendering under the flipped parameterization (THuman
+    # quick_val / THuman-eval analog).
+    if os.environ.get("BENCH_NEG", "1") != "0":
+        cfg_neg = cfg.clone()
+        cfg_neg.defrost()
+        cfg_neg.dataset.test.name = "thuman-synthetic"
+        cfg_neg.freeze()
+        render_neg = get("render", cfg_neg.render.file)(cfg_neg)
+        assert render_neg.neg_ray_val
+        neg_host = get_bench_frames(cfg_neg, n_frames)
+        neg_dev = [
+            {k: jnp.asarray(v) for k, v in b.items()} for b in neg_host
+        ]
+        neg = run_mode(render_neg, cfg_neg, reps=2, scan_cycles=3,
+                       batches=neg_dev, host=neg_host)
+        neg_line = {
+            "metric": "neg-ray (THuman-convention) 512x512 progressive"
+                      " render",
+            "value": round(neg["fps"], 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(neg["fps"] / 20.0, 3),
+            "psnr": round(neg["psnr"], 3),
+            "ssim": round(neg["ssim"], 4),
+        }
+        print("# neg-ray " + json.dumps(neg_line), flush=True)
+        print(
+            f"# neg-ray {neg['ms_per_frame']:.1f} ms/frame; max "
+            f"overflows={neg['overflows']}; max counts={neg['counts_max']}",
+            file=sys.stderr,
+        )
+        modes["thuman_neg_ray"] = {**neg_line, **neg}
+        persist(modes)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,11 @@ class SyntheticDataset(HumanNVSDataset):
             # R' = F R, T' = F T, fx' = -fx, fy' = -fy — the splat renders
             # stay valid ground truth for the converted cameras.
             F = np.diag([1.0, 1.0, -1.0]).astype(np.float32)
+            # pixel identity under F additionally needs zero skew: with
+            # K[0,1] != 0 the u row would require negating the skew term
+            # too (u_h' must equal -u_h). Guard so a future skewed fixture
+            # fails loudly instead of silently breaking the ground truth.
+            assert np.allclose(Ks[:, 0, 1], 0.0), "neg_ray conversion assumes zero skew"
             Ks = Ks.copy()
             Ks[:, 0, 0] *= -1.0
             Ks[:, 1, 1] *= -1.0

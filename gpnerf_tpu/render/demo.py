@@ -200,7 +200,8 @@ class Renderer(BaseRenderer):
         # splat-bin cull: occupied voxels scatter per-pixel DEPTH-BIN masks
         # during the splat; the per-sample occupancy tap (ray_cap * W
         # random byte gathers) becomes one (S,)-row gather per ray.
-        # tight_cull non-neg_ray only; bin_margin_voxels = half-extent of a
+        # tight_cull only; works for BOTH ray conventions (bins live on the
+        # signed t-parameter grid). bin_margin_voxels = half-extent of a
         # voxel's bin coverage in level-0 voxel units.
         self.splat_bins = bool(splat_bins)
         self.bin_margin_voxels = float(bin_margin_voxels)
@@ -1343,7 +1344,10 @@ class Renderer(BaseRenderer):
         if stop_stage == "rays":
             return {"dbg": ck}
 
-        use_bins = self.splat_bins and self.tight_cull and not neg_ray
+        # Direction-agnostic: bins index the signed ray t-parameter grid
+        # (ray_aabb_near_far signs both distances), so the same scatter
+        # covers neg_ray (THuman) targets; _ray_pipeline flips traversal.
+        use_bins = self.splat_bins and self.tight_cull
         if use_bins:
             # splat-bin cull: the occupancy signal rides the splat itself
             # (per-pixel depth-bin masks); no byte occupancy volume, no
@@ -1544,7 +1548,15 @@ class Renderer(BaseRenderer):
         out of a truncated program: each prefix is a strict superset of the
         previous one and the deltas attribute honestly. The anchor sums
         themselves cost ~0.5 ms that the FULL program does not pay, so the
-        final delta (rgb_f) is under-credited by about that much."""
+        final delta (rgb_f) is under-credited by about that much.
+
+        When the point-stage megakernel is enabled (tpu.pallas_point), it
+        only runs in FULL programs (stop-stage prefixes fall back to the
+        op-by-op path) — mixing the two would corrupt the final delta
+        (ADVICE r4). So the stage ladder here runs with pallas_point forced
+        OFF for every program (consistent op-by-op attribution), and the
+        production fused program is timed separately as
+        `rtime_production`."""
         from functools import partial
 
         enc = self.encode_fn()
@@ -1555,12 +1567,24 @@ class Renderer(BaseRenderer):
         stages = ("volume", "rays", "cull_occ", "cull_compact", "cull",
                   "sigma_q", "sigma", None)
         totals = {}
-        for stage in stages:
-            fn = jax.jit(partial(self._demo_impl, stop_stage=stage))
-            jax.block_until_ready(fn(variables, batch, featmaps))
-            t0 = time.time()
-            jax.block_until_ready(fn(variables, batch, featmaps))
-            totals[stage] = time.time() - t0
+        rtime_production = None
+        orig_pp = self.pallas_point
+        try:
+            if orig_pp:
+                fnp = jax.jit(partial(self._demo_impl, stop_stage=None))
+                jax.block_until_ready(fnp(variables, batch, featmaps))
+                t0 = time.time()
+                jax.block_until_ready(fnp(variables, batch, featmaps))
+                rtime_production = time.time() - t0
+                self.pallas_point = False
+            for stage in stages:
+                fn = jax.jit(partial(self._demo_impl, stop_stage=stage))
+                jax.block_until_ready(fn(variables, batch, featmaps))
+                t0 = time.time()
+                jax.block_until_ready(fn(variables, batch, featmaps))
+                totals[stage] = time.time() - t0
+        finally:
+            self.pallas_point = orig_pp
         prev = 0.0
         deltas = {}
         for stage in stages:
@@ -1580,7 +1604,10 @@ class Renderer(BaseRenderer):
             "rgb_f": deltas[None],             # color MLP + composite
             "bc_render": 0.0,
         }
-        return {"etime": etime, "rtime": totals[None], "time_slots": time_slots}
+        out = {"etime": etime, "rtime": totals[None], "time_slots": time_slots}
+        if rtime_production is not None:
+            out["rtime_production"] = rtime_production
+        return out
 
 
     # ------------------------------------------------------------------

@@ -110,15 +110,22 @@ def test_demo_matches_base_on_covered_pixels():
 
 
 @pytest.mark.slow
-def test_perray_k_drop_budget():
+@pytest.mark.parametrize("dataset_name", ["synthetic", "thuman-synthetic"])
+def test_perray_k_drop_budget(dataset_name):
     """VERDICT r3 #7: a FAILING TEST (not a ledger row) guards the per-ray
     K-slot drop deviation — the reference never drops occupancy survivors
     (SURVEY §2.4); we keep the nearest K per ray. Renders fixture frames at
     the SHIPPED K against a drop-free K=64 render of the identical frames
-    and asserts the PSNR cost stays inside the committed budget."""
+    and asserts the PSNR cost stays inside the committed budget.
+
+    Parametrized over BOTH ray conventions (VERDICT r4 #1): the
+    thuman-synthetic fixture serves the same scene through OpenGL-style
+    cameras (scene at negative camera z), so the neg-ray traversal's
+    keep-first-K policy is held to the same quality budget as ZJU's."""
     cfg0 = _cfg.clone()
     cfg0.defrost()
     cfg0.merge_from_file("configs/synthetic.yaml")
+    cfg0.dataset.test.name = dataset_name
     cfg0.dataset.H = 128
     cfg0.dataset.W = 128
     cfg0.head.sigma.code_dim = 32
