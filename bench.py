@@ -71,7 +71,21 @@ def analytic_flops_per_frame(H, W, counts, n_smpl=6890, code_dim=32,
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: the bench compiles 5+ large programs
+    # (fast fn + scan + ref + neg modes); repeated runs on the same
+    # jaxlib/topology hit the disk cache instead of recompiling (~minutes
+    # on a 1-core host). Same setup as tests/conftest.py.
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from gpnerf_tpu.config import cfg as _cfg
@@ -173,19 +187,11 @@ def main():
             disp_dts.append(time.perf_counter() - t0)
             jax.block_until_ready(rets[-1])
             loop_dts.append(time.perf_counter() - t0)
-        # per-frame completion stamps (one extra pass; blocking in order —
-        # later frames keep executing while the host waits on earlier ones)
-        t0 = time.perf_counter()
-        stamp_rets = [fn(variables, b) for b in dbs]
-        stamps = []
-        for r in stamp_rets:
-            jax.block_until_ready(r["overflows"])
-            stamps.append(time.perf_counter() - t0)
-        frame_ms = np.diff([0.0] + stamps) * 1e3
         loop_dt = min(loop_dts)
 
         # protocol 2: one-dispatch scan over scan_cycles * n_frames frames
         scan_fps = None
+        frame_ms = None
         if scan_cycles:
             stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *dbs
@@ -203,6 +209,41 @@ def main():
             so = np.asarray(souts["overflows"])[:n_frames]
             lo = np.stack([np.asarray(r["overflows"]) for r in rets])
             assert (so == lo).all(), (so, lo)
+            # per-frame DEVICE time by scan isolation: order=[i]*cycles runs
+            # frame i `cycles` times sequentially on-device in ONE dispatch
+            # — the tunnel round-trip amortizes to ~RTT/cycles (a constant
+            # bias, identical for every frame). Replaces the round-4
+            # completion-stamp diffs, which measured host/tunnel observation
+            # jitter (RTT ~24 ms on this runtime) around a flat device cost:
+            # scan isolation shows 1.03x max/min across the bench frames
+            # where the stamps swung 1.8-3.2x (tools/diag_spread.py,
+            # VERDICT r4 #3 root cause — artifact, not a device stall).
+            iso_cycles = 5
+            # the iso order length differs from the scan program's, so the
+            # first call compiles a second program — warm it OUTSIDE the
+            # timed loop (one shape, shared by every frame's measurement)
+            jax.block_until_ready(
+                sfn(variables, stacked, jnp.zeros((iso_cycles,), jnp.int32))
+            )
+            frame_ms = []
+            for i in range(n_frames):
+                oi = jnp.full((iso_cycles,), i, jnp.int32)
+                t0 = time.perf_counter()
+                jax.block_until_ready(sfn(variables, stacked, oi))
+                frame_ms.append(
+                    (time.perf_counter() - t0) / iso_cycles * 1e3
+                )
+            frame_ms = np.asarray(frame_ms)
+        if frame_ms is None:
+            # no scan program (ref mode): completion stamps, host-observed
+            # (noise <1% at ~500 ms/frame)
+            t0 = time.perf_counter()
+            stamp_rets = [fn(variables, b) for b in dbs]
+            stamps = []
+            for r in stamp_rets:
+                jax.block_until_ready(r["overflows"])
+                stamps.append(time.perf_counter() - t0)
+            frame_ms = np.diff([0.0] + stamps) * 1e3
 
         # hard-cap overflows / counts across ALL frames (per-ray K drops
         # are the designed graceful path and reported separately)
@@ -262,12 +303,51 @@ def main():
     print(
         f"# {fast['ms_per_frame']:.1f} ms/frame (scan); async-loop "
         f"{fast['loop_ms_per_frame']:.1f} ms/frame (reps {fast['loop_reps_ms']},"
-        f" dispatch {fast['loop_dispatch_ms']} ms, per-frame min/med/max "
+        f" dispatch {fast['loop_dispatch_ms']} ms, per-frame device "
+        f"(scan-isolated, +RTT/5 bias) min/med/max "
         f"{fast['frame_ms_spread']} ms); max overflows(ray,perrayK,sigma,rgb)="
         f"{fast['overflows']}; max counts(rays,sigma,rgb)={fast['counts_max']}; "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
+
+    # HBM bandwidth roofline (VERDICT r4 #2): XLA's own cost analysis of the
+    # compiled production program (post-fusion optimized HLO) counts the HBM
+    # bytes every fused op touches; against the scan ms/frame that yields
+    # achieved GB/s vs the v5e 819 GB/s peak — converting "gather-bound"
+    # from an assertion into a measurement. Per-stage attribution:
+    # tools/roofline.py. Caveat: the Pallas megakernel's internals are a
+    # custom call XLA cannot cost (its HBM operands are counted; VMEM
+    # residents are not traffic anyway).
+    if os.environ.get("BENCH_ROOF", "1") != "0":
+        try:
+            ca = (
+                render.render_demo_fn()
+                .lower(variables, dev_batches[0])
+                .compile()
+                .cost_analysis()
+            )
+            if isinstance(ca, list):
+                ca = ca[0]
+            gbytes = float(ca.get("bytes accessed", 0.0)) / 1e9
+            gbps = gbytes / (fast["ms_per_frame"] / 1e3)
+            roof = {
+                "xla_GB_per_frame": round(gbytes, 3),
+                "achieved_GBps": round(gbps, 1),
+                "pct_hbm_roof": round(gbps / 819.0 * 100.0, 1),
+                "peak_GBps": 819.0,
+            }
+            fast_line["roofline"] = roof
+            fast["roofline"] = roof
+            print(
+                f"# roofline: XLA-counted {gbytes:.2f} GB HBM/frame -> "
+                f"{gbps:.0f} GB/s at {fast['ms_per_frame']:.1f} ms/frame = "
+                f"{roof['pct_hbm_roof']:.0f}% of 819 GB/s v5e peak "
+                f"(per-stage: tools/roofline.py)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # cost analysis is best-effort diagnostics
+            print(f"# roofline unavailable: {e!r}", file=sys.stderr)
 
     # every extra mode persists independently (each gated only by its own
     # env var; BENCH_MODES.json is written after EVERY completed mode so an

@@ -190,6 +190,15 @@ cfg.tpu.samples_per_ray = 13
 # the true surface samples. To run exact reference cull semantics set
 # tight_cull False AND samples_per_ray 64 (and raise ray/sigma caps).
 cfg.tpu.tight_cull = True
+# blanket-mode (tight_cull False) splat compaction: compact the
+# sum-over-levels occupied voxels to this many rows before the pixel/bin
+# splat scatters instead of streaming the whole dense walk (~860k rows on
+# the synthetic grid) through them. EXACT when drop-free — every occupied
+# voxel still splats; drops count into ray_overflow (hard failure, caught
+# by the bench/eval zero-overflow gates). Demand on the synthetic bench
+# frames: <= 273k occupied sum-over-levels voxels -> 1.4x headroom
+# (still 2.2x fewer scatter rows than the ~860k dense walk). 0 = dense.
+cfg.tpu.splat_cap = 393216
 # occupancy-tap window W (0 = off): tap only W consecutive samples of the
 # reference 64-grid starting at each ray's splat-derived front depth (minus
 # a 3-voxel margin) instead of all 64 candidates — candidates more than W
@@ -226,6 +235,12 @@ cfg.tpu.pallas_lerp = True
 # (ops/pallas_point.py); supersedes pallas_lerp on the demo hot path. TPU
 # backend only; the XLA op-by-op path remains for CPU/tests/profiling.
 cfg.tpu.pallas_point = True
+# lerp the multi-scale geometry rows INSIDE the point megakernel: the XLA
+# octet query's (P, 8, C) dequant expansion and (P, F) feature round-trip
+# stay in VMEM; XLA keeps only the raw row gathers. Requires pallas_point;
+# layouts the kernel does not lerp (lerp-axes l1_nearest rungs, int4,
+# u32-packed) fall back to the XLA query automatically.
+cfg.tpu.kernel_octet = True
 # int8-quantize the merged [rgb|feat] projection table (per-channel
 # symmetric scales, dequantized after the bilinear sum): halves the bytes
 # of the largest per-point gather and its (P, V, C) relayout. Only applies
@@ -326,6 +341,23 @@ cfg.tpu.coarse_nearest = 2
 # The level-1 field is the sharp local one, so every value is
 # quality-gated by the full-set sweep before any default change.
 cfg.tpu.l1_nearest = 0
+# ALSO apply the reference's exact trilinear sp_feats > 0 cull
+# (demo_render.py:274-283) at the progressive renderer's density stage in
+# the compacted (non-frame) modes. The voxel-granular occupancy tap admits
+# fringe samples whose trilinear level-1 support is <= 0; off by default
+# (the alpha cull keeps it quality-neutral on the full-set sweep), used by
+# the demo-vs-Base consistency test together with base_occupancy_cull.
+cfg.tpu.sigma_query_cull = False
+# apply the progressive renderer's empty-space cull (zero sigma where the
+# level-1 queried feature's channel sum is <= 0 — the reference
+# demo_render.py:294 sp_feats > 0 semantics) in the TRAINING renderer's
+# eval path too. Off by default (the reference's BaseRender evaluates
+# every in-bounds sample); used by the demo-vs-Base consistency test so
+# both pipelines run under the same cull — a trained head can emit
+# positive density on zero multi-scale features (unsupervised empty space
+# renders as fog on mask-zeroed GT), which is a checkpoint property, not
+# a pipeline difference.
+cfg.tpu.base_occupancy_cull = False
 # matmul precision: 'bfloat16' or 'float32'
 cfg.tpu.matmul_dtype = "bfloat16"
 # training compute precision for the BaseRender train step: 'float32'

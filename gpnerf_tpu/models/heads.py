@@ -250,7 +250,8 @@ class NeRFHead(nn.Module):
         fused = self.sigmahead.fuse_codes(smpl_feat)
         return self.sigmahead.volume_features(fused, vertex_rows, levels, train=train)
 
-    def point_forward(self, query_ctx, dhw_vox, out_sh_dyn, rgb_feat, mask):
+    def point_forward(self, query_ctx, dhw_vox, out_sh_dyn, rgb_feat, mask,
+                      occupancy_cull=False):
         """Query + MLP heads for one ray chunk. `query_ctx` selects the
         multi-scale query backing (numerically identical to the reference's
         `.dense()` + grid_sample, SparseConvNet.py:105-124, either way):
@@ -258,6 +259,14 @@ class NeRFHead(nn.Module):
           {"sparse": (level_feats, index_vols, shapes)} — training (keeps
           gradients on the ~20k-row sparse matrices; materializing dense
           volumes inside the differentiated step cost ~240 ms/it).
+
+        occupancy_cull: zero sigma where the level-1 queried feature's
+        channel sum is <= 0 — the progressive renderer's (and the reference
+        demo_render.py:294's sp_feats > 0) empty-space cull applied in the
+        training renderer. A trained head can emit positive density on
+        ZERO multi-scale features (unsupervised empty space renders as fog
+        on the mask-zeroed GT); this flag puts both renderers under the
+        same cull so their agreement is checkpoint-independent.
 
         dhw_vox: (N_rays*N_samples, 3); rgb_feat: (N_rays, N_samples, V, C+3).
         Returns (raw (N_rays, N_samples, 4), rgb_in)."""
@@ -275,6 +284,11 @@ class NeRFHead(nn.Module):
             n_rays, n_samples, -1
         )
         rgb_in, rgb, sigma = self.rgbhead(rgb_feat, sigma_feat, mask)
+        if occupancy_cull:
+            occ = feats[..., : self.spconv_out_dim[0]].sum(axis=-1) > 0
+            sigma = jnp.where(
+                occ.reshape(n_rays, n_samples, 1), sigma, 0.0
+            )
         raw = jnp.concatenate([rgb, sigma], axis=-1)
         return raw, rgb_in
 

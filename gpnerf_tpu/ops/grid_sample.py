@@ -191,7 +191,7 @@ def bilinear_quad_nhwc(table, grid, h, w, scale=None, out_dtype=None):
     rows = jnp.take_along_axis(
         flat, (yc * (w + 1) + xc)[..., None], axis=1
     )  # (N, P, 4C)
-    quantized = table.dtype == jnp.int8
+    quantized = table.dtype in (jnp.int8, jnp.uint8)
     dt = out_dtype if out_dtype is not None else (
         jnp.float32 if quantized else table.dtype
     )
@@ -249,7 +249,7 @@ def bilinear_quad_nhwc_pv(table, grid, h, w, scale=None, out_dtype=None):
     # (a flat (P*V, 4C) gather + flat weighted sum measured 7 ms/frame
     # SLOWER: the relayout the 3D form pays up front reappears bigger
     # downstream of the flat result)
-    quantized = table.dtype == jnp.int8
+    quantized = table.dtype in (jnp.int8, jnp.uint8)
     dt = out_dtype if out_dtype is not None else (
         jnp.float32 if quantized else table.dtype
     )
@@ -720,6 +720,53 @@ def trilinear_octet_rows(table, pos, size, scale=None, out_dtype=None):
     if scale is not None:
         out = out * scale.astype(wdt)[None, :]
     return out
+
+
+def octet_rows_and_weights(table, pos, size):
+    """Gather-only half of `trilinear_octet_rows` for the fused point-stage
+    kernel (ops/pallas_point.py geom tabs): returns the RAW packed octet
+    rows plus the 8 trilinear corner weights with the zeros-outside mask
+    folded — the weighted sum / dequantization happen inside the kernel.
+    Index math is identical to trilinear_octet_rows.
+
+    Returns (rows (P, 8C) table dtype, w8 (P, 8) f32)."""
+    import itertools as _it
+
+    if isinstance(table, FlatOctetTable):
+        Dp, Hp, Wp = table.shape
+        flat = table.rows
+    else:
+        Dp, Hp, Wp = table.shape[:3]
+        flat = table.reshape(-1, table.shape[-1])
+    base = jnp.floor(pos).astype(jnp.int32)
+    w1 = (pos - jnp.floor(pos)).astype(jnp.float32)
+    w0 = 1.0 - w1
+    bc = jnp.clip(base, -1, jnp.asarray([Dp - 2, Hp - 2, Wp - 2])) + 1
+    rows = flat[(bc[:, 0] * Hp + bc[:, 1]) * Wp + bc[:, 2]]  # (P, 8C)
+    ws = []
+    for sel in _it.product((0, 1), repeat=3):
+        corner = base + jnp.asarray(sel, jnp.int32)
+        inb = jnp.all((corner >= 0) & (corner < size), axis=-1)
+        w = (
+            (w1[:, 0] if sel[0] else w0[:, 0])
+            * (w1[:, 1] if sel[1] else w0[:, 1])
+            * (w1[:, 2] if sel[2] else w0[:, 2])
+        )
+        ws.append(w * inb.astype(jnp.float32))
+    return rows, jnp.stack(ws, axis=-1)
+
+
+def nearest_row_and_weight(table, pos, size):
+    """Gather-only half of `nearest_rows` (lerp_axes == 0 form) for the
+    fused point-stage kernel: raw nearest rows + the zeros-outside weight.
+    Returns (rows (P, C) table dtype, w (P, 1) f32)."""
+    assert table.lerp_axes == 0
+    D, H, W = table.shape
+    c = jnp.round(pos).astype(jnp.int32)
+    inb = jnp.all((c >= 0) & (c < size), axis=-1)
+    cc = jnp.clip(c, 0, jnp.asarray([D - 1, H - 1, W - 1]))
+    rows = table.rows[(cc[:, 0] * H + cc[:, 1]) * W + cc[:, 2]]
+    return rows, inb.astype(jnp.float32)[:, None]
 
 
 def trilinear_dense_rows(vol, pos, dyn_size=None):

@@ -126,13 +126,70 @@ def _dot(w_ref, x, out_f32=True):
     )
 
 
-def _point_kernel(rows_ref, w4_ref, pscale_ref, feats_ref, vmask_ref,
-                  sig_ok_ref,
-                  w_sf, b_sf, w_d0, b_d0, w_d1, b_d1, w_d2, b_d2, w_d3,
-                  b_d3, w_b0, b_b0, w_b1, b_b1, w_v0, b_v0, w_v1, b_v1,
-                  w_r0, b_r0, w_r1, b_r1, w_r2, b_r2,
-                  alpha_ref, rgb_ref, *, C: int, V: int, F: int):
-    B = feats_ref.shape[0]
+def _to_bf16(x):
+    """Cast packed tap rows to bf16 inside the kernel. Mosaic has no
+    unsigned->float lowering, so u8 rows (raw pixel bytes / u8-quantized
+    octet tables) hop through int32; 0..255 is exact in bf16 (8
+    significand bits cover integers to 256)."""
+    if jnp.issubdtype(x.dtype, jnp.unsignedinteger):
+        x = x.astype(jnp.int32)
+    return x.astype(jnp.bfloat16)
+
+
+def _lerp_rows(rows_bf, w_ref, Ct: int, T: int, widx=None):
+    """Row-major packed taps -> channel-major weighted sum: rows_bf
+    (B, T*Ct) bf16 [tap k at columns k*Ct:(k+1)*Ct], tap weights from
+    w_ref [(T, B)-indexable]. A constant one-hot selector contraction per
+    tap relayouts row-major to (Ct, B) on the MXU; weights fold in f32."""
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (Ct, T * Ct), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (Ct, T * Ct), 1)
+    acc = jnp.zeros((Ct, rows_bf.shape[0]), jnp.float32)
+    for k in range(T):
+        sel = (col_i == k * Ct + row_i).astype(jnp.bfloat16)
+        d = jax.lax.dot_general(
+            sel, rows_bf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Ct, B)
+        w = w_ref[k, :] if widx is None else w_ref[widx, k, :]
+        acc = acc + d * w[None, :]
+    return acc
+
+
+def _point_kernel(*refs, C: int, V: int, tab_specs: tuple,
+                  geom_specs: tuple, F: int):
+    """Kernel body. tab_specs = ((Tt, Ct), ...) projection tables (merged
+    [rgb|feat] on the production path; reference-semantics mode passes the
+    full-res rgb quad table and a pre-lerped feature tab); geom_specs =
+    ((Tg, Cg), ...) geometry tables (level-1 octet rows Tg=8, folded-coarse
+    nearest rows Tg=1) whose lerped channel blocks concatenate to the
+    multi-scale geometry feature; F > 0 instead passes the XLA-side query
+    output directly. `refs` layout (T = len(tab_specs), G = len(geom_specs)):
+      refs[0:T]        rows_ref_t   (V, B, Tt*Ct)
+      refs[T:2T]       w_ref_t      (V, Tt, B)
+      refs[2T:3T]      pscale_ref_t (Ct, 1)
+      refs[3T:3T+3G]   per geom tab: grows (B, Tg*Cg), gw (Tg, B),
+                       gscale (Cg, 1)
+      [feats_ref (B, F) iff F > 0]
+      vmask_ref (V, B), sig_ok_ref (1, B)
+      then the 26 packed head weight/bias refs
+      refs[-2:]        alpha_ref (1, B), rgb_ref (3, B)
+    """
+    T = len(tab_specs)
+    G = len(geom_specs)
+    rows_refs = refs[0:T]
+    w_refs = refs[T : 2 * T]
+    pscale_refs = refs[2 * T : 3 * T]
+    geom_refs = refs[3 * T : 3 * T + 3 * G]
+    off = 3 * T + 3 * G
+    if F > 0:
+        feats_ref = refs[off]
+        off += 1
+    vmask_ref, sig_ok_ref = refs[off : off + 2]
+    (w_sf, b_sf, w_d0, b_d0, w_d1, b_d1, w_d2, b_d2, w_d3,
+     b_d3, w_b0, b_b0, w_b1, b_b1, w_v0, b_v0, w_v1, b_v1,
+     w_r0, b_r0, w_r1, b_r1, w_r2, b_r2) = refs[off + 2 : -2]
+    alpha_ref, rgb_ref = refs[-2:]
+    B = vmask_ref.shape[-1]
 
     def elu(x):
         # jax.nn.elu lowers through expm1 (no Mosaic TPU rule); exp-1 is
@@ -142,21 +199,19 @@ def _point_kernel(rows_ref, w4_ref, pscale_ref, feats_ref, vmask_ref,
     Cp = _pad8(C)
     zpadC = jnp.zeros((Cp - C, B), jnp.float32)
 
-    # ---- projection quad-lerp per view (ops/pallas_lerp.py semantics) ----
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (C, 4 * C), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (C, 4 * C), 1)
+    # ---- projection lerp per view (ops/pallas_lerp.py semantics): per
+    # table the packed taps cross to channel-major and weighted-sum on the
+    # MXU; per-table channel blocks concatenate to the (C, B) feature ----
     rgbfeat = []
     for v in range(V):
-        tmp = rows_ref[v].astype(jnp.bfloat16)  # (B, 4C)
-        acc = jnp.zeros((C, B), jnp.float32)
-        for k in range(4):
-            sel = (col_i == k * C + row_i).astype(jnp.bfloat16)
-            d = jax.lax.dot_general(
-                sel, tmp, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (C, B)
-            acc = acc + d * w4_ref[v, k, :][None, :]
-        rgbfeat.append(acc * pscale_ref[:])  # (C, B) f32, dequantized
+        parts = []
+        for t, (Tt, Ct) in enumerate(tab_specs):
+            tmp = _to_bf16(rows_refs[t][v])  # (B, Tt*Ct)
+            acc = _lerp_rows(tmp, w_refs[t], Ct, Tt, widx=v)
+            parts.append(acc * pscale_refs[t][:])  # (Ct, B) dequantized
+        rgbfeat.append(
+            parts[0] if T == 1 else jnp.concatenate(parts, axis=0)
+        )  # (C, B) f32
 
     # ---- multi-view mean/variance (trainhead.py:20-24, over ALL views) ----
     mean = rgbfeat[0]
@@ -168,15 +223,29 @@ def _point_kernel(rows_ref, w4_ref, pscale_ref, feats_ref, vmask_ref,
         var = var + (rgbfeat[v] - mean) ** 2
     var = var / float(V)
 
-    # ---- geometry feats -> channel-major via identity-MXU transpose ----
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (F, F), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (F, F), 1)
-    ).astype(jnp.bfloat16)
-    fT = jax.lax.dot_general(
-        eye, feats_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (F, B)
+    # ---- multi-scale geometry feature, channel-major ----
+    if G:
+        # in-kernel octet trilerp / nearest dequant: raw quantized rows +
+        # corner weights in, (sum Cg, B) f32 out — the XLA-side query's
+        # (P, 8, C) dequant expansion and (P, F) activation round-trip
+        # never touch HBM (query_octet2 semantics, models/sparse_net.py)
+        gparts = []
+        for g, (Tg, Cg) in enumerate(geom_specs):
+            grows = _to_bf16(geom_refs[3 * g][:])  # (B, Tg*Cg)
+            gw = geom_refs[3 * g + 1]
+            acc = _lerp_rows(grows, gw, Cg, Tg)
+            gparts.append(acc * geom_refs[3 * g + 2][:])
+        fT = gparts[0] if G == 1 else jnp.concatenate(gparts, axis=0)
+    else:
+        # XLA-query path: feats -> channel-major via identity-MXU transpose
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (F, F), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (F, F), 1)
+        ).astype(jnp.bfloat16)
+        fT = jax.lax.dot_general(
+            eye, feats_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (F, B)
     sigma_feat = elu(_dot(w_sf, fT) + b_sf[:])  # (64, B)
 
     # ---- density MLP (trainhead.py:102-110,133-137) ----
@@ -217,52 +286,108 @@ def _point_kernel(rows_ref, w4_ref, pscale_ref, feats_ref, vmask_ref,
 @functools.partial(
     jax.jit, static_argnames=("block", "interpret")
 )
-def fused_point_stages(proj_rows, w4, proj_scale, feats, vmask, sig_ok,
-                       weights, *, block=512, interpret=False):
-    """Run the fused per-point head kernel.
+def fused_point_stages_tabs(tabs, feats, vmask, sig_ok, weights, *,
+                            geom_tabs=(), block=512, interpret=False):
+    """Run the fused per-point head kernel over T projection tables.
 
     Args:
-      proj_rows: (V*P, 4C) int8/other — merged [rgb|feat] quad-gather rows,
-        view-major (view v rows at [v*P:(v+1)*P]).
-      w4: (V, 4, P) f32 tap weights (in-bounds folded).
-      proj_scale: (C,) f32 dequant factors (ones if unquantized).
-      feats: (P, F) multi-scale geometry features (octet query output).
+      tabs: sequence of (rows, w, scale) per projection table —
+        rows (V*P, Tt*Ct) int8/u8/other packed tap rows, view-major (view
+        v at [v*P:(v+1)*P]); w (V, Tt, P) f32 tap weights (in-bounds
+        folded; each table's own grid; Tt=4 quad rows, Tt=1 pre-lerped);
+        scale (Ct,) f32 dequant factors (ones if unquantized). One merged
+        [rgb|feat] table on the production path; reference-semantics mode
+        passes the full-res u8 rgb quad table and a pre-lerped feature tab
+        (demo_render.py:586,594 gather semantics) and the kernel
+        concatenates the channel blocks.
+      feats: (P, F) multi-scale geometry features (XLA octet-query
+        output), or None when geom_tabs carry the raw geometry rows.
       vmask: (V, P) f32 view validity (in-front & in-bounds).
       sig_ok: (P,) bool/f32 sample-cull mask.
       weights: list from pack_head_weights.
+      geom_tabs: sequence of (rows (P, Tg*Cg), w (Tg, P), scale (Cg,))
+        geometry tables lerped IN-KERNEL (level-1 octet rows Tg=8 +
+        folded-coarse nearest rows Tg=1 — query_octet2 semantics with the
+        dequant expansion kept in VMEM).
     Returns (alpha (P,) f32 [sigma-masked], rgb (P, 3) f32 [alpha-culled]).
     """
-    V, _, P = w4.shape
-    C4 = proj_rows.shape[-1]
-    C = C4 // 4
-    F = feats.shape[-1]
+    V, _, P = tabs[0][1].shape
+    tab_specs = tuple(
+        (t[1].shape[1], t[0].shape[-1] // t[1].shape[1]) for t in tabs
+    )
+    C = sum(ct for _, ct in tab_specs)
+    geom_specs = tuple(
+        (g[1].shape[0], g[0].shape[-1] // g[1].shape[0]) for g in geom_tabs
+    )
+    F = 0 if feats is None else feats.shape[-1]
     pad = (-P) % block
+    rows_l, w_l, scale_l = [], [], []
+    for rows, w, scale in tabs:
+        Ctot = rows.shape[-1]
+        rows = rows.reshape(V, P, Ctot)
+        if pad:
+            rows = jnp.pad(rows, ((0, 0), (0, pad), (0, 0)))
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, pad)))
+        rows_l.append(rows)
+        w_l.append(w)
+        scale_l.append(scale.reshape(-1, 1).astype(jnp.float32))
+    geom_l = []
+    for grows, gw, gscale in geom_tabs:
+        if pad:
+            grows = jnp.pad(grows, ((0, pad), (0, 0)))
+            gw = jnp.pad(gw, ((0, 0), (0, pad)))
+        geom_l += [grows, gw, gscale.reshape(-1, 1).astype(jnp.float32)]
     if pad:
-        proj_rows = jnp.pad(
-            proj_rows.reshape(V, P, C4), ((0, 0), (0, pad), (0, 0))
-        ).reshape(V * (P + pad), C4)
-        w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, pad)))
-        feats = jnp.pad(feats, ((0, pad), (0, 0)))
+        if feats is not None:
+            feats = jnp.pad(feats, ((0, pad), (0, 0)))
         vmask = jnp.pad(vmask, ((0, 0), (0, pad)))
         sig_ok = jnp.pad(sig_ok.astype(jnp.float32), ((0, pad),))
     Pp = P + pad
     nb = Pp // block
-    rows_v = proj_rows.reshape(V, Pp, C4)
     wspecs = [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for w in weights
     ]
+    geom_specs_bs = []
+    for g, (Tg, Cg) in enumerate(geom_specs):
+        geom_specs_bs += [
+            pl.BlockSpec((block, Tg * Cg), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tg, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cg, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    feat_specs = (
+        []
+        if feats is None
+        else [pl.BlockSpec((block, F), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)]
+    )
     alpha, rgb = pl.pallas_call(
-        functools.partial(_point_kernel, C=C, V=V, F=F),
+        functools.partial(
+            _point_kernel, C=C, V=V, tab_specs=tab_specs,
+            geom_specs=geom_specs, F=F,
+        ),
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((V, block, C4), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((V, 4, block), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, F), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, block, r.shape[-1]), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+            for r in rows_l
+        ]
+        + [
+            pl.BlockSpec((V, w.shape[1], block), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+            for w in w_l
+        ]
+        + [
+            pl.BlockSpec((s.shape[0], 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for s in scale_l
+        ]
+        + geom_specs_bs
+        + feat_specs
+        + [
             pl.BlockSpec((V, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block), lambda i: (0, i),
@@ -281,12 +406,26 @@ def fused_point_stages(proj_rows, w4, proj_scale, feats, vmask, sig_ok,
         ),
         interpret=interpret,
     )(
-        rows_v,
-        w4,
-        proj_scale.reshape(C, 1).astype(jnp.float32),
-        feats,
+        *rows_l,
+        *w_l,
+        *scale_l,
+        *geom_l,
+        *([] if feats is None else [feats]),
         vmask.astype(jnp.float32),
         sig_ok.astype(jnp.float32).reshape(1, Pp),
         *weights,
     )
     return alpha[0, :P], rgb[:, :P].T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret")
+)
+def fused_point_stages(proj_rows, w4, proj_scale, feats, vmask, sig_ok,
+                       weights, *, block=512, interpret=False):
+    """Single merged-table form (the production path): see
+    fused_point_stages_tabs."""
+    return fused_point_stages_tabs(
+        ((proj_rows, w4, proj_scale),), feats, vmask, sig_ok, weights,
+        block=block, interpret=interpret,
+    )

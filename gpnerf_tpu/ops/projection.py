@@ -79,23 +79,33 @@ def project_and_gather(xyz, KE, src_imgs, featmaps, h, w, *, neg_ray=False):
     return rgb_feat, mask.transpose(1, 0)
 
 
-def project_and_gather_quad(xyz, KE, src_quad, feat_quad, h, w, *, neg_ray=False):
+def project_and_gather_quad(xyz, KE, src_quad, feat_quad, h, w, *,
+                            neg_ray=False, src_scale=None):
     """`project_and_gather` through packed quad tables
     (ops.grid_sample.build_quad_table_2d): one row-gather per (point, view,
     map) instead of four — the per-point projection gather is the demo
-    renderer's largest HBM cost.
+    renderer's largest HBM cost. Gathers run in (P, V) row order (no output
+    transpose copy — measured 2.9 GB of relayout at the ref-mode 2.62M-point
+    frame).
 
-    src_quad: (V, H+1, W+1, 12); feat_quad: (V, Hf+1, Wf+1, 4C).
+    src_quad: (V, H+1, W+1, 12) float or uint8 (raw pixel bytes — exact,
+    since source images are uint8 on disk; `src_scale` then carries the
+    1/255 dequant applied after the weighted sum).
+    feat_quad: (V, Hf+1, Wf+1, 4C).
     Returns rgb_feat (P, V, 3 + C), mask (P, V)."""
-    from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc
+    from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc_pv
 
     pixel, in_front = compute_projections(xyz, KE, neg_ray=neg_ray)
     norm_pix = normalize_pixels(pixel, h, w)
-    rgb = bilinear_quad_nhwc(src_quad, norm_pix, h, w)  # (V, P, 3)
+    rgb = bilinear_quad_nhwc_pv(
+        src_quad, norm_pix, h, w, scale=src_scale
+    )  # (P, V, 3)
     hf = feat_quad.shape[1] - 1
     wf = feat_quad.shape[2] - 1
-    feat = bilinear_quad_nhwc(feat_quad, norm_pix, hf, wf)  # (V, P, C)
-    rgb_feat = jnp.concatenate([rgb, feat], axis=-1).transpose(1, 0, 2)
+    feat = bilinear_quad_nhwc_pv(feat_quad, norm_pix, hf, wf)  # (P, V, C)
+    rgb_feat = jnp.concatenate(
+        [rgb.astype(feat.dtype), feat], axis=-1
+    )
     mask = (inbound_mask(pixel, h, w) & in_front).astype(rgb_feat.dtype)
     return rgb_feat, mask.transpose(1, 0)
 

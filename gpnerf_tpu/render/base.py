@@ -85,6 +85,7 @@ class Renderer:
         max_out_sh=(96, 384, 384),
         eval_chunk=8192,
         n_smpl=6890,
+        occupancy_cull=False,
     ):
         self.encoder = encoder
         self.nerfhead = nerfhead
@@ -101,6 +102,10 @@ class Renderer:
         self.max_out_sh = tuple(int(v) for v in max_out_sh)
         self.eval_chunk = int(eval_chunk)
         self.n_smpl = n_smpl
+        # apply the progressive renderer's empty-space cull (level-1
+        # queried-feature channel sum > 0; reference demo_render.py:294) in
+        # this renderer too — see NeRFHead.point_forward(occupancy_cull=)
+        self.occupancy_cull = bool(occupancy_cull)
         self._eval_fn = None
 
     # ------------------------------------------------------------------
@@ -261,6 +266,7 @@ class Renderer:
             pre["out_sh"],
             rgb_feat,
             mask[..., None],
+            occupancy_cull=self.occupancy_cull,
             method="point_forward",
         )
         # compositing always runs float32: the shifted cumprod accumulates
@@ -510,6 +516,7 @@ def build_render(cfg):
         max_out_sh=tuple(cfg.tpu.max_out_sh),
         eval_chunk=cfg.tpu.eval_chunk,
         n_smpl=cfg.head.sigma.n_smpl,
+        occupancy_cull=cfg.tpu.base_occupancy_cull,
     )
 
 

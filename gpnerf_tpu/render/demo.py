@@ -104,11 +104,29 @@ class Renderer(BaseRenderer):
                  window_margin_voxels=6.0, splat_bins=False,
                  bin_margin_voxels=2.0, quantize_proj=False,
                  pack_octet_u32=False, proj_vp_order=False,
-                 pallas_lerp=False, pallas_point=False, **kwargs):
+                 pallas_lerp=False, pallas_point=False, splat_cap=0,
+                 kernel_octet=True, sigma_query_cull=False, **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
         self.rgb_cap = int(rgb_cap)
+        # blanket-mode splat compaction cap (0 = dense walk): the
+        # sum-over-levels occupied set is compacted to this many rows
+        # before the pixel/bin splats; drops surface as ray_overflow
+        self.splat_cap = int(splat_cap)
+        # lerp the multi-scale geometry rows INSIDE the point megakernel
+        # (raw octet/nearest rows + corner weights in, the (P, 8, C)
+        # dequant expansion stays in VMEM); falls back to the XLA query
+        # for layouts the kernel does not lerp
+        self.kernel_octet = bool(kernel_octet)
+        # ALSO apply the reference's exact trilinear sp_feats > 0 cull
+        # (demo_render.py:274-283) at the density stage in the compacted
+        # (non-frame) modes — the voxel-granular occupancy tap admits
+        # fringe samples whose trilinear level-1 support is <= 0. Off by
+        # default (the alpha cull makes it fps-neutral quality-wise); the
+        # demo-vs-Base consistency test turns it on together with
+        # tpu.base_occupancy_cull so both pipelines run the identical cull.
+        self.sigma_query_cull = bool(sigma_query_cull)
         # tap_window W (0 = off): occupancy-tap only W consecutive samples of
         # the reference 64-grid starting at each ray's splat-derived front
         # depth (per-pixel scatter-min of occupied-voxel camera depth) minus
@@ -587,9 +605,13 @@ class Renderer(BaseRenderer):
         octet query + projection gathers stay XLA (its gather engine wins);
         ONE Pallas kernel runs quad-lerp + mean/var + sigma-feat linear +
         density MLP + color MLP + masks and emits only the (alpha, rgb)
-        pair the composite needs."""
+        pair the composite needs. Runs with the merged [rgb|feat] table
+        (production) or with separate full-res rgb + feature-grid tables
+        (reference-semantics mode, demo_render.py:586,594): each table's
+        raw quad rows and tap weights feed the kernel, which lerps and
+        concatenates the channel blocks."""
         from gpnerf_tpu.ops.pallas_point import (
-            fused_point_stages,
+            fused_point_stages_tabs,
             pack_head_weights,
         )
         from gpnerf_tpu.ops.projection import project_gather_rows_merged
@@ -601,43 +623,134 @@ class Renderer(BaseRenderer):
         P = nr * K
         head_vars = tables["head_vars"]
 
-        # raw multi-scale geometry feats (query_sigma_feat_octet minus the
-        # linear, which moves into the kernel)
-        kw = {} if octet_scales is None else {"scales": octet_scales}
-        if len(octet_vols) == 2:
-            feats = apply(
-                lambda m, *a, **k: m.sigmahead.xyzc_net.query_octet2(*a, **k),
-                octet_vols[0], octet_vols[1], dhw_c, out_sh, **kw,
-            )
-        else:
-            feats = apply(
-                lambda m, *a, **k: m.sigmahead.xyzc_net.query_octet(*a, **k),
-                octet_vols, dhw_c, out_sh, **kw,
-            )  # (P, 128)
+        # multi-scale geometry: raw quantized rows + corner weights feed the
+        # kernel's in-VMEM trilerp (geom tabs) when every level's table maps
+        # (octet-row or plain-nearest layouts; query_octet2 order/sizing,
+        # models/sparse_net.py:172-204) — the XLA query's (P, 8, C) dequant
+        # expansion never touches HBM. Falls back to the XLA-side query for
+        # layouts the kernel does not lerp (lerp-axes nearest rungs, int4,
+        # u32-packed) and when the occupancy gate needs the queried features
+        # (mask_from_query).
         if mask_from_query is None:
-            mask_from_query = frame_mode
+            mask_from_query = frame_mode or self.sigma_query_cull
+        from gpnerf_tpu.ops.grid_sample import (
+            FlatOctetTable,
+            NearestTable,
+            nearest_row_and_weight,
+            octet_rows_and_weights,
+        )
+
+        def _geom_tab(i, tab):
+            sc = None if octet_scales is None else octet_scales[i]
+            frac = dhw_c / out_sh.astype(dhw_c.dtype)
+            if isinstance(tab, NearestTable):
+                if tab.lerp_axes != 0:
+                    return None
+                size = out_sh // tab.div
+                if tab.interleave > 1:
+                    size = tab.interleave * (size - 1) + 1
+                pos = frac * (size - 1).astype(dhw_c.dtype)
+                grows, gw = nearest_row_and_weight(tab, pos, size)
+            elif (
+                isinstance(tab, FlatOctetTable)
+                and tab.rows.dtype != jnp.uint32
+            ) or (
+                hasattr(tab, "dtype") and tab.dtype != jnp.uint32
+            ):
+                size = out_sh // (2 ** (i + 1))
+                pos = frac * (size - 1).astype(dhw_c.dtype)
+                grows, gw = octet_rows_and_weights(tab, pos, size)
+            else:
+                return None  # int4 / u32-packed / lerp-axes layouts
+            if sc is None:
+                Tg = gw.shape[-1]
+                sc = jnp.ones((grows.shape[-1] // Tg,), jnp.float32)
+            return grows, gw.T, sc
+
+        geom_tabs = None
+        if self.kernel_octet and not mask_from_query:
+            geom_tabs = [_geom_tab(i, t) for i, t in enumerate(octet_vols)]
+            if any(g is None for g in geom_tabs):
+                geom_tabs = None
+        feats = None
+        if geom_tabs is None:
+            kw = {} if octet_scales is None else {"scales": octet_scales}
+            if len(octet_vols) == 2:
+                feats = apply(
+                    lambda m, *a, **k:
+                        m.sigmahead.xyzc_net.query_octet2(*a, **k),
+                    octet_vols[0], octet_vols[1], dhw_c, out_sh, **kw,
+                )
+            else:
+                feats = apply(
+                    lambda m, *a, **k:
+                        m.sigmahead.xyzc_net.query_octet(*a, **k),
+                    octet_vols, dhw_c, out_sh, **kw,
+                )  # (P, 128)
         if mask_from_query:
             nch = self.nerfhead.spconv_out_dim[0]
             occ_l1 = feats[..., :nch].sum(axis=-1)
             sig_ok = sig_ok & (occ_l1.astype(jnp.float32) > 0)
 
         Hsrc, Wsrc = batch["src_imgs"].shape[1:3]
-        rows, w4, vmask = project_gather_rows_merged(
-            pts_c, pre["KE"], src_quad, Hsrc, Wsrc, neg_ray=neg_ray
-        )
-        scale = tables.get("proj_scale")
-        if scale is None:
-            scale = jnp.ones((rows.shape[-1] // 4,), jnp.float32)
+        feat_quad = tables.get("feat_quad")
+        if feat_quad is None:
+            rows, w4, vmask = project_gather_rows_merged(
+                pts_c, pre["KE"], src_quad, Hsrc, Wsrc, neg_ray=neg_ray
+            )
+            scale = tables.get("proj_scale")
+            if scale is None:
+                scale = jnp.ones((rows.shape[-1] // 4,), jnp.float32)
+            tabs = ((rows, w4, scale),)
+            C = rows.shape[-1] // 4
+        else:
+            # split-table form (reference semantics): raw u8 rgb rows from
+            # the full-res source table (quad-lerped in-kernel, 1/255
+            # dequant after the weighted sum) + the encoder-grid features
+            # PRE-lerped in XLA (fused gather+weighted-sum, out-of-bounds
+            # taps zeroed) as a 1-tap tab — materializing the lerped
+            # (V, P, C) values instead of the 4x-wider raw quad rows. The
+            # view mask is projection-only and identical for both.
+            from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc
+            from gpnerf_tpu.ops.projection import (
+                compute_projections,
+                normalize_pixels,
+            )
+
+            rows_s, w4_s, vmask = project_gather_rows_merged(
+                pts_c, pre["KE"], src_quad, Hsrc, Wsrc, neg_ray=neg_ray
+            )
+            pixel, _ = compute_projections(
+                pts_c, pre["KE"], neg_ray=neg_ray
+            )
+            norm_pix = normalize_pixels(pixel, Hsrc, Wsrc)
+            feat_pv = bilinear_quad_nhwc(
+                feat_quad, norm_pix,
+                feat_quad.shape[1] - 1, feat_quad.shape[2] - 1,
+            )  # (V, P, Cf), view-major like the raw row tabs
+            P_ = feat_pv.shape[1]
+            Cf = feat_pv.shape[-1]
+            src_scale = tables.get("src_scale")
+            if src_scale is None:
+                src_scale = jnp.ones((rows_s.shape[-1] // 4,), jnp.float32)
+            tabs = (
+                (rows_s, w4_s, src_scale),
+                (feat_pv.reshape(-1, Cf),
+                 jnp.ones((feat_pv.shape[0], 1, P_), jnp.float32),
+                 jnp.ones((Cf,), jnp.float32)),
+            )
+            C = rows_s.shape[-1] // 4 + Cf
         weights = pack_head_weights(
-            head_vars["params"], rows.shape[-1] // 4,
+            head_vars["params"], C,
             fold_nch=(
                 self.nerfhead.spconv_out_dim[0]
                 if tables.get("folded")
                 else None
             ),
         )
-        alpha, rgb = fused_point_stages(
-            rows, w4, scale, feats, vmask, sig_ok, weights
+        alpha, rgb = fused_point_stages_tabs(
+            tabs, feats, vmask, sig_ok, weights,
+            geom_tabs=tuple(geom_tabs) if geom_tabs else (),
         )  # alpha (P,) sigma-masked; rgb (P, 3) alpha-culled
         alpha_live = alpha > 1e-14  # kernel alpha is 0 wherever culled
 
@@ -695,12 +808,12 @@ class Renderer(BaseRenderer):
         # fused point-stage megakernel (ops/pallas_point.py): projection
         # quad-lerp + mean/var + sigma-feat linear + density MLP + color MLP
         # + masks in ONE Pallas kernel; only the gathers and the composite
-        # remain XLA ops. Requires the merged projection table; profiling
-        # prefixes fall back to the op-by-op path.
+        # remain XLA ops. Works with the merged projection table or the
+        # split (full-res rgb + feature-grid) pair; profiling prefixes fall
+        # back to the op-by-op path.
         use_fused = (
             self.pallas_point
             and jax.default_backend() == "tpu"
-            and feat_quad is None
             and stop_stage is None
         )
         if use_fused:
@@ -729,7 +842,7 @@ class Renderer(BaseRenderer):
         else:
             rgb_feat, view_mask = project_and_gather_quad(
                 pts_c, pre["KE"], src_quad, feat_quad, Hsrc, Wsrc,
-                neg_ray=neg_ray,
+                neg_ray=neg_ray, src_scale=tables.get("src_scale"),
             )  # (P, V, C+3), (P, V)
         # running profiling checksum (see _frame_stage): accumulate every
         # intermediate so no stop program can DCE an earlier point stage
@@ -748,7 +861,7 @@ class Renderer(BaseRenderer):
         # (6) density (:294-314). frame_mode also reads the level-1
         # trilinear occupancy off the same query (the reference tight cull)
         if mask_from_query is None:
-            mask_from_query = frame_mode
+            mask_from_query = frame_mode or self.sigma_query_cull
         kw = {} if octet_scales is None else {"scales": octet_scales}
         if tables.get("folded"):
             query = (
@@ -1194,6 +1307,7 @@ class Renderer(BaseRenderer):
         # encoder features are upsampled to source resolution (exact-class
         # align-corners reinterpolation, separable matmuls) and packed WITH
         # the rgb into one [rgb|feat] table — one gather per (point, view).
+        src_scale = None
         if self.merge_src_feat:
             from gpnerf_tpu.ops.grid_sample import upsample_image_align_corners
 
@@ -1234,7 +1348,18 @@ class Renderer(BaseRenderer):
                 proj_scale = None
             feat_quad = None
         else:
-            src_quad = build_quad_table_2d(src_unnorm)
+            # split tables (reference semantics: rgb at FULL source
+            # resolution, demo_render.py:586). Source images arrive as the
+            # raw uint8 bytes they were on disk (src_norm docstring), so
+            # the src table stores those bytes directly with a 1/255
+            # dequant applied after the bilinear weighted sum — EXACT, and
+            # 4x fewer gathered bytes than the f32/bf16 rows on the
+            # dominant per-point random-gather path
+            if batch["src_imgs"].dtype == jnp.uint8:
+                src_quad = build_quad_table_2d(batch["src_imgs"])
+                src_scale = jnp.full((3,), 1.0 / 255.0, jnp.float32)
+            else:
+                src_quad = build_quad_table_2d(src_unnorm)
             feat_quad = build_quad_table_2d(featmaps)
             proj_scale = None
         if prof:
@@ -1268,6 +1393,7 @@ class Renderer(BaseRenderer):
         vs = jnp.asarray(self.voxel_size, jnp.float32)
         R = batch["Rh"]
         Th = batch["Th"].reshape(1, 3)
+        splat_overflow = jnp.int32(0)
         if self.tight_cull:
             g1 = grids[1]
             mval = masks3d[
@@ -1288,6 +1414,19 @@ class Renderer(BaseRenderer):
             pts_w, row_ok, min_xyz, max_xyz = self._occupied_world_pts(
                 masks3d, batch
             )
+            if self.splat_cap:
+                # compact the blanket-occupied voxels to a static cap
+                # before the splat scatters: the dense sum-over-levels walk
+                # feeds ~860k rows (mostly empty) into 4 scatter passes +
+                # the bin splat; the occupied set is ~10x smaller. EXACT
+                # when drop-free (splatting every occupied voxel — the
+                # overflow counter below turns any drop into a hard
+                # ray_overflow failure, same class as a dropped ray: a
+                # dropped splat voxel can lose pixels).
+                sidx, row_ok, splat_overflow = _compact(
+                    row_ok, self.splat_cap
+                )
+                pts_w = pts_w[jnp.minimum(sidx, pts_w.shape[0] - 1)]
         min_xyz = min_xyz - jnp.asarray([0.0, 0.0, 0.05])
         max_xyz = max_xyz + jnp.asarray([0.0, 0.0, 0.05])
         can_bounds = jnp.stack([min_xyz, max_xyz])  # (demo :168-175)
@@ -1319,6 +1458,10 @@ class Renderer(BaseRenderer):
         # (3b) ray extraction (:200-211)
         oob = Himg * Wimg
         pix_idx, ray_ok, ray_overflow = _compact(pixmask > 0, self.ray_cap)
+        # splat-voxel drops are the same hard-failure class as ray drops
+        # (a dropped voxel can lose pixels): fold them into ray_overflow so
+        # the bench/eval zero-overflow gates catch an undersized splat_cap
+        ray_overflow = ray_overflow + splat_overflow
         jj = jnp.minimum(pix_idx, oob - 1) // Wimg
         ii = jnp.minimum(pix_idx, oob - 1) % Wimg
         xy1 = jnp.stack([ii, jj, jnp.ones_like(ii)], axis=-1).astype(jnp.float32)
@@ -1384,6 +1527,7 @@ class Renderer(BaseRenderer):
             "src_quad": src_quad,
             "feat_quad": feat_quad,
             "proj_scale": proj_scale,
+            "src_scale": src_scale,
             "folded": self.fold_coarse_fc,
         }
         if prof:
@@ -1780,6 +1924,9 @@ def build_render(cfg):
         proj_vp_order=cfg.tpu.proj_vp_order,
         pallas_lerp=cfg.tpu.pallas_lerp,
         pallas_point=cfg.tpu.pallas_point,
+        splat_cap=cfg.tpu.splat_cap,
+        kernel_octet=cfg.tpu.kernel_octet,
+        sigma_query_cull=cfg.tpu.sigma_query_cull,
     )
 
 

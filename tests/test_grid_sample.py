@@ -110,6 +110,40 @@ def test_quad_projection_matches_reference_path():
     np.testing.assert_array_equal(np.asarray(q_mask), np.asarray(ref_mask))
 
 
+def test_u8_src_quad_projection_matches_float_path():
+    """project_and_gather_quad with a RAW-uint8 source table + 1/255
+    src_scale == the float-table path (the ref-mode split gather stores the
+    original uint8 pixel bytes: u8 taps are exact in the lerp, the affine
+    1/255 commutes out of the weighted sum; 4x fewer gathered bytes)."""
+    from gpnerf_tpu.ops.grid_sample import build_quad_table_2d
+    from gpnerf_tpu.ops.projection import project_and_gather_quad
+
+    rng = np.random.default_rng(17)
+    V, H, W, C = 3, 16, 16, 6
+    src_u8 = rng.integers(0, 256, size=(V, H, W, 3), dtype=np.uint8)
+    src_f = jnp.asarray(src_u8.astype(np.float32) / 255.0)
+    feat = jnp.asarray(
+        rng.standard_normal((V, H // 4, W // 4, C)).astype(np.float32)
+    )
+    KE = jnp.asarray(
+        np.stack([np.eye(4, dtype=np.float32) for _ in range(V)])
+        + 0.01 * rng.standard_normal((V, 4, 4)).astype(np.float32)
+    )
+    xyz = jnp.asarray(rng.uniform(-2, 2, size=(400, 3)).astype(np.float32))
+    fq = build_quad_table_2d(feat)
+    ref_feat, ref_mask = project_and_gather_quad(
+        xyz, KE, build_quad_table_2d(src_f), fq, H, W
+    )
+    u8_feat, u8_mask = project_and_gather_quad(
+        xyz, KE, build_quad_table_2d(jnp.asarray(src_u8)), fq, H, W,
+        src_scale=jnp.full((3,), 1.0 / 255.0, jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(u8_feat), np.asarray(ref_feat), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(u8_mask), np.asarray(ref_mask))
+
+
 def test_quad_pv_gather_matches_per_view_form():
     """bilinear_quad_nhwc_pv ((P, V)-ordered view-concat gather) ==
     bilinear_quad_nhwc transposed, including out-of-bounds zeroing."""

@@ -101,3 +101,132 @@ def test_fused_point_stages_parity():
     # so the ReLU/cull boundary can flip any |sigma| below that
     assert alive[a_ref > 0.05].all()
     assert alive_r[a > 0.05].all()
+
+
+def test_fused_point_stages_geom_tabs_and_split_parity():
+    """r5 kernel generalizations: (a) geometry lerped IN-KERNEL from raw
+    octet/nearest rows (geom_tabs) == the XLA octet-query path; (b) the
+    reference-semantics split projection form — u8 full-res rgb quad rows
+    (scale 1/255) + a PRE-lerped 1-tap feature tab — == a merged float
+    quad-lerp. Both against the op-by-op flax math in f32."""
+    from gpnerf_tpu.ops.grid_sample import (
+        NearestTable,
+        build_octet_table_3d,
+        nearest_row_and_weight,
+        nearest_rows,
+        octet_rows_and_weights,
+        trilinear_octet_rows,
+    )
+    from gpnerf_tpu.ops.pallas_point import fused_point_stages_tabs
+
+    rs = np.random.RandomState(1)
+    P, V = 700, 3
+    C1, Cc = 32, 64  # level-1 / folded-coarse channels -> F = 96
+    C = 35  # 3 rgb + 32 feat
+
+    rgbhead = NeRFRGBHead(in_feat_ch=32)
+    rgb_vars = rgbhead.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 2, V, C)), jnp.zeros((2, 2, 64)),
+        jnp.zeros((2, 2, V, 1)),
+    )
+    sf_mlp = MLP((64,), ("elu",))
+    sf_vars = sf_mlp.init(jax.random.PRNGKey(1), jnp.zeros((2, C1 + Cc)))
+    head_params = {
+        "sigmahead": {"out_geometry_fc": sf_vars["params"]},
+        "rgbhead": rgb_vars["params"],
+    }
+
+    # ---- geometry tables: u8 octet level-1 + i8 nearest coarse ----
+    D = H = W = 7
+    vol1 = rs.randint(0, 255, size=(D, H, W, C1)).astype(np.uint8)
+    oct1 = build_octet_table_3d(jnp.asarray(vol1))
+    sc1 = (0.01 + rs.rand(C1) * 0.03).astype(np.float32)
+    volc = rs.randint(-127, 127, size=(D, H, W, Cc)).astype(np.int8)
+    ntab = NearestTable(
+        jnp.asarray(volc.reshape(-1, Cc)), (D, H, W), 2
+    )
+    scc = (0.01 + rs.rand(Cc) * 0.03).astype(np.float32)
+    size = jnp.asarray([D, H, W])
+    pos = jnp.asarray(
+        (rs.rand(P, 3) * (np.array([D, H, W]) + 0.5) - 0.5).astype(
+            np.float32
+        )
+    )  # includes out-of-extent points (zeros-outside both paths)
+
+    # ---- projection: u8 full-res src quad rows + PRE-lerped feat tab ----
+    rows_s = rs.randint(0, 255, size=(V * P, 4 * 3)).astype(np.uint8)
+    w4_s = np.abs(rs.rand(V, 4, P)).astype(np.float32)
+    w4_s *= rs.rand(V, 4, P) > 0.1
+    s_scale = np.full((3,), 1.0 / 255.0, np.float32)
+    feat_pv = (rs.randn(V, P, 32) * 0.3).astype(np.float32)
+
+    # ---- op-by-op reference ----
+    f1 = trilinear_octet_rows(oct1, pos, size, scale=jnp.asarray(sc1))
+    fc = nearest_rows(ntab, pos, size, scale=jnp.asarray(scc))
+    feats_ref = jnp.concatenate([f1, fc], axis=-1)  # (P, 96)
+    rf = np.zeros((P, V, C), np.float32)
+    for v in range(V):
+        for k in range(4):
+            rf[:, v, :3] += (
+                rows_s[v * P : (v + 1) * P, k * 3 : (k + 1) * 3].astype(
+                    np.float32
+                )
+                * w4_s[v, k, :, None]
+            )
+    rf[:, :, :3] *= s_scale[None, None, :]
+    rf[:, :, 3:] = feat_pv.transpose(1, 0, 2)
+    vmask = (rs.rand(V, P) > 0.15).astype(np.float32)
+    sig_ok = rs.rand(P) > 0.2
+    mean, var = fused_mean_variance(jnp.asarray(rf))
+    nvo = jnp.asarray(vmask.T.sum(axis=-1, keepdims=True))
+    # folded sigma-feat: elu(f1 @ W[:32] + fc + b)
+    Wsf = sf_vars["params"]["dense_0"]["kernel"]
+    bsf = sf_vars["params"]["dense_0"]["bias"]
+    sigma_feat = jax.nn.elu(f1 @ Wsf[:C1] + fc + bsf)
+    sigma_ref = rgbhead.apply(
+        rgb_vars, sigma_feat, mean[:, 0], var[:, 0], nvo,
+        method=lambda m, *a: m.density(*a),
+    )[:, 0]
+    sigma_ref = jnp.where(jnp.asarray(sig_ok), sigma_ref, 0.0)
+    alpha_ref = 1.0 - jnp.exp(-sigma_ref)
+    rgb_ref = rgbhead.apply(
+        rgb_vars, jnp.asarray(rf)[:, None], mean[:, None], var[:, None],
+        method=lambda m, *a: m.color(*a),
+    )[:, 0]
+    alive_ref = (alpha_ref > 1e-14) & jnp.asarray(sig_ok)
+    rgb_ref = jnp.where(alive_ref[:, None], rgb_ref, 0.0)
+
+    # ---- fused kernel: geom tabs + split proj tabs ----
+    grows1, gw1 = octet_rows_and_weights(oct1, pos, size)
+    growsc, gwc = nearest_row_and_weight(ntab, pos, size)
+    weights = pack_head_weights(head_params, C, fold_nch=C1)
+    alpha, rgb = fused_point_stages_tabs(
+        (
+            (jnp.asarray(rows_s), jnp.asarray(w4_s), jnp.asarray(s_scale)),
+            (jnp.asarray(feat_pv.reshape(V * P, 32)),
+             jnp.ones((V, 1, P), jnp.float32),
+             jnp.ones((32,), jnp.float32)),
+        ),
+        None, jnp.asarray(vmask), jnp.asarray(sig_ok), weights,
+        geom_tabs=(
+            (grows1, gw1.T, jnp.asarray(sc1)),
+            (growsc, gwc.T, jnp.asarray(scc)),
+        ),
+        block=256, interpret=True,
+    )
+
+    a_ref = np.asarray(alpha_ref)
+    a = np.asarray(alpha)
+    np.testing.assert_allclose(a, a_ref, atol=0.08, rtol=0.3)
+    assert np.abs(a - a_ref).mean() < 5e-3
+    alive = a > 1e-14
+    alive_r = np.asarray(alive_ref)
+    agree = alive == alive_r
+    assert (~agree).mean() < 0.01
+    r = np.asarray(rgb)[agree.nonzero()[0]]
+    r_ref = np.asarray(rgb_ref)[agree.nonzero()[0]]
+    np.testing.assert_allclose(r, r_ref, atol=0.08)
+    assert np.abs(r - r_ref).mean() < 5e-3
+    assert alive[a_ref > 0.05].all()
+    assert alive_r[a > 0.05].all()
