@@ -380,9 +380,12 @@ def main():
         # deviation and stays out of this mode
         cfg_ref.tpu.merge_lowres_src = False
         # loose-cull demand measured on the bench frames: 2.52M sigma
-        # points / up to 52k rays — caps sized to run drop-free
-        cfg_ref.tpu.ray_cap = 65536
-        cfg_ref.tpu.sigma_cap = 2621440
+        # points / up to 51,432 rays — caps sized to run drop-free with
+        # ~11% headroom. Every per-point cost scales with ray_cap * 64
+        # under dense_slots, so the cap rides close to demand; a drop
+        # surfaces as a hard ray_overflow failure, never silently.
+        cfg_ref.tpu.ray_cap = 57344
+        cfg_ref.tpu.sigma_cap = 2293760
         cfg_ref.tpu.rgb_cap = 1048576
         cfg_ref.freeze()
         render_ref = get("render", cfg_ref.render.file)(cfg_ref)

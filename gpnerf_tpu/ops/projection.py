@@ -80,7 +80,7 @@ def project_and_gather(xyz, KE, src_imgs, featmaps, h, w, *, neg_ray=False):
 
 
 def project_and_gather_quad(xyz, KE, src_quad, feat_quad, h, w, *,
-                            neg_ray=False, src_scale=None):
+                            neg_ray=False, src_scale=None, feat_scale=None):
     """`project_and_gather` through packed quad tables
     (ops.grid_sample.build_quad_table_2d): one row-gather per (point, view,
     map) instead of four — the per-point projection gather is the demo
@@ -91,7 +91,8 @@ def project_and_gather_quad(xyz, KE, src_quad, feat_quad, h, w, *,
     src_quad: (V, H+1, W+1, 12) float or uint8 (raw pixel bytes — exact,
     since source images are uint8 on disk; `src_scale` then carries the
     1/255 dequant applied after the weighted sum).
-    feat_quad: (V, Hf+1, Wf+1, 4C).
+    feat_quad: (V, Hf+1, Wf+1, 4C) float or int8 (quantize_image_i8 rows;
+    `feat_scale` then carries the per-channel dequant).
     Returns rgb_feat (P, V, 3 + C), mask (P, V)."""
     from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc_pv
 
@@ -102,7 +103,9 @@ def project_and_gather_quad(xyz, KE, src_quad, feat_quad, h, w, *,
     )  # (P, V, 3)
     hf = feat_quad.shape[1] - 1
     wf = feat_quad.shape[2] - 1
-    feat = bilinear_quad_nhwc_pv(feat_quad, norm_pix, hf, wf)  # (P, V, C)
+    feat = bilinear_quad_nhwc_pv(
+        feat_quad, norm_pix, hf, wf, scale=feat_scale
+    )  # (P, V, C)
     rgb_feat = jnp.concatenate(
         [rgb.astype(feat.dtype), feat], axis=-1
     )
@@ -157,7 +160,8 @@ def project_and_gather_quad_merged(xyz, KE, srcfeat_quad, h, w, *,
     return rgb_feat, mask.transpose(1, 0)
 
 
-def project_gather_rows_merged(xyz, KE, srcfeat_quad, h, w, *, neg_ray=False):
+def project_gather_rows_merged(xyz, KE, srcfeat_quad, h, w, *, neg_ray=False,
+                               batched=False):
     """Gather-only half of `project_and_gather_quad_merged` for the fused
     point-stage kernel (ops/pallas_point.py): returns the RAW quad rows in
     view-major order plus the tap weights and view mask — the weighted sum,
@@ -189,9 +193,22 @@ def project_gather_rows_merged(xyz, KE, srcfeat_quad, h, w, *, neg_ray=False):
     xc = jnp.clip(xi, -1, wt - 1) + 1
     yc = jnp.clip(yi, -1, ht - 1) + 1
     stride = (ht + 1) * (wt + 1)
-    voff = jnp.arange(V, dtype=jnp.int32)[:, None] * stride
-    idx_vp = yc * (wt + 1) + xc + voff  # (V, P)
-    rows = srcfeat_quad.reshape(V * stride, C4)[idx_vp.reshape(-1)]
+    if batched:
+        # V-batched take_along_axis: XLA places the per-view table
+        # operand in VMEM (S(1)) when it fits, which gathers ~2-8 ns/row
+        # vs ~13-14 ns/row for the flat HBM form — measured 100 vs 173 ms
+        # on the ref-mode 12.58M-row feature gather (trace_demo
+        # fusion.20/26, r5). The (V, P, C4) -> (V*P, C4) reshape is a
+        # contiguous bitcast. The flat form stays the default: the FAST
+        # mode's merged gather measured 6 ms/frame SLOWER batched.
+        idx_vp = yc * (wt + 1) + xc  # (V, P)
+        rows = jnp.take_along_axis(
+            srcfeat_quad.reshape(V, stride, C4), idx_vp[..., None], axis=1
+        ).reshape(V * idx_vp.shape[1], C4)
+    else:
+        voff = jnp.arange(V, dtype=jnp.int32)[:, None] * stride
+        idx_vp = yc * (wt + 1) + xc + voff  # (V, P)
+        rows = srcfeat_quad.reshape(V * stride, C4)[idx_vp.reshape(-1)]
 
     def tapw(xi_, yi_, wgt):
         inb = (xi_ >= 0) & (xi_ <= wt - 1) & (yi_ >= 0) & (yi_ <= ht - 1)

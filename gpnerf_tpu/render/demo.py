@@ -90,6 +90,26 @@ def _compact(mask_flat, cap):
     return idx, ok, overflow
 
 
+def _occ_tap_u32(occb, flat_idx):
+    """Nearest-neighbor occupancy tap through u32 WORD gathers: the u8
+    volume bitcasts to little-endian 4-byte words once; each tap gathers
+    the containing word (flat_idx >> 2) and shifts its byte out. The
+    direct u8[flat_idx] form lowers to a 1-D byte gather that measured
+    ~8 ns/row at the reference-mode 4.19M taps (trace fusion.16, 34
+    ms/frame); the word form rides the 2-3x faster word-row class.
+    Returns the tapped byte values (flat_idx shape, uint32 0..255)."""
+    flat = occb.reshape(-1)
+    npad = (-flat.shape[0]) % 4
+    if npad:
+        flat = jnp.pad(flat, (0, npad))
+    words = jax.lax.bitcast_convert_type(
+        flat.reshape(-1, 4), jnp.uint32
+    )  # (N/4,)
+    w = words[flat_idx >> 2]
+    shift = (flat_idx.astype(jnp.uint32) & 3) * 8
+    return (w >> shift) & jnp.uint32(0xFF)
+
+
 class Renderer(BaseRenderer):
     """Adds the progressive full-image path on top of BaseRender."""
 
@@ -508,8 +528,16 @@ class Renderer(BaseRenderer):
                 inbT = inbT & (cell_j >= 0) & (cell_j < size1[j])
                 cellT.append(jnp.clip(cell_j, 0, cap1[j]))
             flat_idxT = (cellT[2] * H1c + cellT[1]) * W1c + cellT[0]
+            # word-gather tap: the direct 1-byte gather lowers to an
+            # ~8 ns/row 1-D gather on this runtime (trace_demo fusion.16,
+            # 34 ms at the ref-mode 4.19M taps); gathering the containing
+            # little-endian u32 word and shifting the byte out rides the
+            # faster word-gather class. Semantics parity-tested against
+            # the byte tap (tests/test_demo_consistency.py).
             ok = (
-                (occb.reshape(-1)[flat_idxT] > 0) & inbT & ray_ok[None, :]
+                (_occ_tap_u32(occb, flat_idxT) > 0)
+                & inbT
+                & ray_ok[None, :]
             )  # (W, R)
         if stop_stage == "cull_occ":
             return ({"dbg": ok.sum() + anchor}, None)
@@ -705,39 +733,37 @@ class Renderer(BaseRenderer):
             C = rows.shape[-1] // 4
         else:
             # split-table form (reference semantics): raw u8 rgb rows from
-            # the full-res source table (quad-lerped in-kernel, 1/255
-            # dequant after the weighted sum) + the encoder-grid features
-            # PRE-lerped in XLA (fused gather+weighted-sum, out-of-bounds
-            # taps zeroed) as a 1-tap tab — materializing the lerped
-            # (V, P, C) values instead of the 4x-wider raw quad rows. The
-            # view mask is projection-only and identical for both.
-            from gpnerf_tpu.ops.grid_sample import bilinear_quad_nhwc
-            from gpnerf_tpu.ops.projection import (
-                compute_projections,
-                normalize_pixels,
-            )
-
+            # the full-res source table + raw (int8-quantized) feature
+            # rows from the encoder-grid table, BOTH quad-lerped in-kernel
+            # (dequant after the weighted sum). An XLA-side feature
+            # pre-lerp was measured SLOWER at the ref-mode 4.19M-point
+            # frame: the weighted sum + out-of-bounds select cost 35 ms on
+            # top of the unavoidable row gather, while the kernel lerp
+            # rides the selector contractions it already runs. The view
+            # mask is projection-only and identical for both tables.
+            # gather forms measured per table (r5 A/B, ms/frame for the
+            # whole ref mode): src flat + feat batched 317-347, src
+            # batched + feat batched 403, src flat + feat flat 534 — the
+            # 9.5 MB full-res src table gathers best flat, the 6.4 MB
+            # feature table best V-batched (per-view 2.1 MB slices land
+            # in VMEM)
             rows_s, w4_s, vmask = project_gather_rows_merged(
                 pts_c, pre["KE"], src_quad, Hsrc, Wsrc, neg_ray=neg_ray
             )
-            pixel, _ = compute_projections(
-                pts_c, pre["KE"], neg_ray=neg_ray
+            rows_f, w4_f, _ = project_gather_rows_merged(
+                pts_c, pre["KE"], feat_quad, Hsrc, Wsrc, neg_ray=neg_ray,
+                batched=True,
             )
-            norm_pix = normalize_pixels(pixel, Hsrc, Wsrc)
-            feat_pv = bilinear_quad_nhwc(
-                feat_quad, norm_pix,
-                feat_quad.shape[1] - 1, feat_quad.shape[2] - 1,
-            )  # (V, P, Cf), view-major like the raw row tabs
-            P_ = feat_pv.shape[1]
-            Cf = feat_pv.shape[-1]
+            Cf = rows_f.shape[-1] // 4
             src_scale = tables.get("src_scale")
             if src_scale is None:
                 src_scale = jnp.ones((rows_s.shape[-1] // 4,), jnp.float32)
+            feat_scale = tables.get("feat_scale")
+            if feat_scale is None:
+                feat_scale = jnp.ones((Cf,), jnp.float32)
             tabs = (
                 (rows_s, w4_s, src_scale),
-                (feat_pv.reshape(-1, Cf),
-                 jnp.ones((feat_pv.shape[0], 1, P_), jnp.float32),
-                 jnp.ones((Cf,), jnp.float32)),
+                (rows_f, w4_f, feat_scale),
             )
             C = rows_s.shape[-1] // 4 + Cf
         weights = pack_head_weights(
@@ -843,6 +869,7 @@ class Renderer(BaseRenderer):
             rgb_feat, view_mask = project_and_gather_quad(
                 pts_c, pre["KE"], src_quad, feat_quad, Hsrc, Wsrc,
                 neg_ray=neg_ray, src_scale=tables.get("src_scale"),
+                feat_scale=tables.get("feat_scale"),
             )  # (P, V, C+3), (P, V)
         # running profiling checksum (see _frame_stage): accumulate every
         # intermediate so no stop program can DCE an earlier point stage
@@ -1308,6 +1335,7 @@ class Renderer(BaseRenderer):
         # align-corners reinterpolation, separable matmuls) and packed WITH
         # the rgb into one [rgb|feat] table — one gather per (point, view).
         src_scale = None
+        feat_scale = None
         if self.merge_src_feat:
             from gpnerf_tpu.ops.grid_sample import upsample_image_align_corners
 
@@ -1360,7 +1388,20 @@ class Renderer(BaseRenderer):
                 src_scale = jnp.full((3,), 1.0 / 255.0, jnp.float32)
             else:
                 src_quad = build_quad_table_2d(src_unnorm)
-            feat_quad = build_quad_table_2d(featmaps)
+            if self.quantize_proj:
+                # int8-quantize the encoder-feature table too (per-channel
+                # symmetric, dequant after the bilinear sum — the same
+                # machinery as the merged table): 4x fewer bytes on the
+                # split mode's dominant per-point gather
+                from gpnerf_tpu.ops.grid_sample import quantize_image_i8
+
+                qf, feat_scale = quantize_image_i8(
+                    featmaps.astype(jnp.float32)
+                )
+                feat_quad = build_quad_table_2d(qf)
+            else:
+                feat_quad = build_quad_table_2d(featmaps)
+                feat_scale = None
             proj_scale = None
         if prof:
             ck = (
@@ -1528,6 +1569,7 @@ class Renderer(BaseRenderer):
             "feat_quad": feat_quad,
             "proj_scale": proj_scale,
             "src_scale": src_scale,
+            "feat_scale": feat_scale,
             "folded": self.fold_coarse_fc,
         }
         if prof:

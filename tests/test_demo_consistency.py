@@ -249,3 +249,20 @@ def test_blanket_splat_cap_is_exact():
     dense = render_img(0)
     capped = render_img(262144)
     np.testing.assert_array_equal(np.asarray(capped), np.asarray(dense))
+
+
+def test_occ_tap_u32_matches_byte_tap():
+    """The u32 word-gather occupancy tap == the direct byte gather for
+    every byte offset within a word, including a non-multiple-of-4 volume
+    (pad path) — pins the little-endian shift so a future runtime/layout
+    change fails loudly."""
+    from gpnerf_tpu.render.demo import _occ_tap_u32
+
+    rng = np.random.default_rng(3)
+    occ = jnp.asarray(
+        rng.integers(0, 2, size=(5, 7, 9), dtype=np.uint8) * 255
+    )
+    idx = jnp.asarray(rng.integers(0, 5 * 7 * 9, size=(1000,), dtype=np.int32))
+    got = np.asarray(_occ_tap_u32(occ, idx))
+    want = np.asarray(occ.reshape(-1))[np.asarray(idx)]
+    np.testing.assert_array_equal(got, want.astype(np.uint32))

@@ -144,6 +144,42 @@ def test_u8_src_quad_projection_matches_float_path():
     np.testing.assert_array_equal(np.asarray(u8_mask), np.asarray(ref_mask))
 
 
+def test_i8_feat_quad_projection_close_to_float_path():
+    """project_and_gather_quad with an int8-quantized feature table +
+    per-channel feat_scale tracks the float path within quantization
+    tolerance (split/reference-semantics mode under tpu.quantize_proj —
+    the full-set PSNR gate judges the shipped default)."""
+    from gpnerf_tpu.ops.grid_sample import (
+        build_quad_table_2d,
+        quantize_image_i8,
+    )
+    from gpnerf_tpu.ops.projection import project_and_gather_quad
+
+    rng = np.random.default_rng(23)
+    V, H, W, C = 3, 16, 16, 8
+    src = jnp.asarray(rng.random((V, H, W, 3)).astype(np.float32))
+    feat = rng.standard_normal((V, H // 4, W // 4, C)).astype(np.float32)
+    KE = jnp.asarray(
+        np.stack([np.eye(4, dtype=np.float32) for _ in range(V)])
+        + 0.01 * rng.standard_normal((V, 4, 4)).astype(np.float32)
+    )
+    xyz = jnp.asarray(rng.uniform(-2, 2, size=(400, 3)).astype(np.float32))
+    sq = build_quad_table_2d(src)
+    f_ref, m_ref = project_and_gather_quad(
+        xyz, KE, sq, build_quad_table_2d(jnp.asarray(feat)), H, W
+    )
+    qf, fs = quantize_image_i8(jnp.asarray(feat))
+    f_q, m_q = project_and_gather_quad(
+        xyz, KE, sq, build_quad_table_2d(qf), H, W, feat_scale=fs
+    )
+    amax = np.abs(feat.reshape(-1, C)).max(axis=0)
+    np.testing.assert_allclose(
+        np.asarray(f_q[..., 3:]), np.asarray(f_ref[..., 3:]),
+        atol=float(amax.max()) / 127.0 * 2.0,
+    )
+    np.testing.assert_array_equal(np.asarray(m_q), np.asarray(m_ref))
+
+
 def test_quad_pv_gather_matches_per_view_form():
     """bilinear_quad_nhwc_pv ((P, V)-ordered view-concat gather) ==
     bilinear_quad_nhwc transposed, including out-of-bounds zeroing."""

@@ -36,8 +36,8 @@ REF_OVERRIDES = [
     "tpu.samples_per_ray", "64",
     "tpu.tap_window", "0",
     "tpu.merge_lowres_src", "False",
-    "tpu.ray_cap", "65536",
-    "tpu.sigma_cap", "2621440",
+    "tpu.ray_cap", "57344",
+    "tpu.sigma_cap", "2293760",
     "tpu.rgb_cap", "1048576",
 ]
 
@@ -53,7 +53,9 @@ def main():
     from gpnerf_tpu.utils.bench_frames import get_bench_frames
 
     args = sys.argv[1:]
-    n = int(args[0]) if args and args[0].isdigit() else 6
+    # default 4 frames: 6 frames' worth of held tables + (P, V, C) gather
+    # outputs at the ref-mode P=4.19M exhausts the 16 GB HBM
+    n = int(args[0]) if args and args[0].isdigit() else 4
     if args and args[0].isdigit():
         args = args[1:]
 
@@ -107,6 +109,7 @@ def main():
 
     P = pt_sets[0]["pts_c"].shape[0]
     print(f"# P = {P} compacted points/frame, {n} frames", flush=True)
+    head_vars = variables["head"]
 
     # blanket splat demand (sizes cfg.tpu.splat_cap): occupied voxels of
     # the sum-over-levels field per frame
@@ -152,8 +155,31 @@ def main():
     out_sh = frames[0][0]["out_sh"]  # static across frames (max_out_sh pad)
     results = {}
 
+    # table metadata comes back from the jitted _frame_stage as device
+    # scalars; jit args flatten NamedTuple fields into tracers, so rebuild
+    # the tables inside the closures with HOST-static ints and pass only
+    # the rows arrays
+    from gpnerf_tpu.ops.grid_sample import FlatOctetTable, NearestTable
+
+    t1 = frames[0][1]["octet_vols"][0]
+    tc = frames[0][1]["octet_vols"][1]
+    t1_shape = tuple(int(v) for v in np.asarray(t1.shape))
+    tc_meta = (
+        tuple(int(v) for v in np.asarray(tc.shape)),
+        int(tc.div), int(tc.interleave), int(tc.lerp_axes),
+    ) if isinstance(tc, NearestTable) else None
+
+    def rebuild(l1_rows, c_rows):
+        octl1 = FlatOctetTable(l1_rows, t1_shape)
+        if tc_meta is None:
+            octc = c_rows
+        else:
+            octc = NearestTable(c_rows, *tc_meta)
+        return octl1, octc
+
     # --- octet multi-scale query (sigma_q ladder stage) ---
-    def octet_q(octl1, octc, scales, dhw):
+    def octet_q(l1_rows, c_rows, scales, dhw):
+        octl1, octc = rebuild(l1_rows, c_rows)
         return render.nerfhead.apply(
             head_vars, octl1, octc, dhw, out_sh, scales=scales,
             method=lambda m, *a, **k:
@@ -161,7 +187,7 @@ def main():
         )
 
     oct_in = [
-        (fr[1]["octet_vols"][0], fr[1]["octet_vols"][1],
+        (fr[1]["octet_vols"][0].rows, fr[1]["octet_vols"][1].rows,
          fr[1]["octet_scales"], ps["dhw_c"])
         for fr, ps in zip(frames, pt_sets)
     ]
@@ -169,8 +195,9 @@ def main():
                                     oct_in)
 
     # gather-only pieces of the octet query
-    def octet_l1_gather(octl1, dhw):
+    def octet_l1_gather(l1_rows, dhw):
         from gpnerf_tpu.ops.grid_sample import trilinear_octet_rows
+        octl1 = FlatOctetTable(l1_rows, t1_shape)
         frac = dhw / out_sh.astype(dhw.dtype)
         size = out_sh // 2
         pos = frac * (size - 1).astype(dhw.dtype)
@@ -178,12 +205,13 @@ def main():
 
     results["octet_l1_only"] = timeit(
         "  l1 octet trilerp only", jax.jit(octet_l1_gather),
-        [(fr[1]["octet_vols"][0], ps["dhw_c"])
+        [(fr[1]["octet_vols"][0].rows, ps["dhw_c"])
          for fr, ps in zip(frames, pt_sets)],
     )
 
-    def coarse_gather(octc, dhw):
+    def coarse_gather(c_rows, dhw):
         from gpnerf_tpu.ops.grid_sample import nearest_rows
+        octc = NearestTable(c_rows, *tc_meta)
         frac = dhw / out_sh.astype(dhw.dtype)
         size = out_sh // octc.div
         if octc.interleave > 1:
@@ -193,7 +221,7 @@ def main():
 
     results["coarse_nearest_only"] = timeit(
         "  coarse nearest rows only", jax.jit(coarse_gather),
-        [(fr[1]["octet_vols"][1], ps["dhw_c"])
+        [(fr[1]["octet_vols"][1].rows, ps["dhw_c"])
          for fr, ps in zip(frames, pt_sets)],
     )
 
@@ -248,8 +276,9 @@ def main():
     )
 
     # --- heads on the gathered features (meanvar+sigma+rgb ladder) ---
-    def heads(rgb_feat, mask, octl1, octc, scales, dhw, sig_ok):
+    def heads(rgb_feat, mask, l1_rows, c_rows, scales, dhw, sig_ok):
         from gpnerf_tpu.models.heads import fused_mean_variance
+        octl1, octc = rebuild(l1_rows, c_rows)
         sigma_feat = render.nerfhead.apply(
             head_vars, octl1, octc, dhw, out_sh, scales=scales,
             method=lambda m, *a, **k:
@@ -274,7 +303,8 @@ def main():
     results["heads_op_by_op"] = timeit(
         "heads (meanvar+density+color)", jax.jit(heads),
         [
-            (rf[0], rf[1], fr[1]["octet_vols"][0], fr[1]["octet_vols"][1],
+            (rf[0], rf[1], fr[1]["octet_vols"][0].rows,
+             fr[1]["octet_vols"][1].rows,
              fr[1]["octet_scales"], ps["dhw_c"], ps["sig_ok"])
             for rf, fr, ps in zip(rgbfeats, frames, pt_sets)
         ],
