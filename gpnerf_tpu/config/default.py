@@ -320,6 +320,13 @@ cfg.tpu.fold_coarse_fc = True
 # fine (full-set 22.697 vs 22.705); kept as an option for compilers
 # where nibble ops fuse into the gather consumer.
 cfg.tpu.int4_coarse = False
+# int4 split-pack the SPLIT-mode (reference-semantics) encoder-feature
+# quad table: halves the bytes of that mode's dominant per-point VMEM
+# gather; nibbles unpack INSIDE the point megakernel (the earlier XLA-side
+# nibble experiments lost to shift/mask re-costs — in-kernel VPU shifts
+# are native). Requires quantize_proj + pallas_point (no op-by-op int4
+# sampler). Off by default pending the full-set quality gate.
+cfg.tpu.int4_feat = False
 # sample the FOLDED coarse table nearest-neighbor (one 64-byte row-gather
 # per point instead of a 512-byte octet row): 8x fewer coarse gather
 # bytes, piecewise-constant interpolation of the smooth coarse field.

@@ -646,6 +646,29 @@ def quantize_volume_i4(vol, eps=1e-8):
     return packed, scale
 
 
+def quantize_image_i4(img, eps=1e-8):
+    """Per-channel symmetric int4 split-pack of a feature image: channel c
+    quantizes to [-7, 7] and packs with channel c + C/2 into one byte
+    (low/high nibble, two's-complement). Halves the quad-table row bytes
+    — the per-point VMEM gather cost scales with row bytes (~0.05 ns/B,
+    trace_demo r5) — at ~15-level precision; the full-set PSNR gate
+    judges the shipped default. C must be even.
+
+    Returns (packed (..., C/2) uint8, scale (C,) float32); unpack =
+    sign-extended nibble * scale[c] (ops/pallas_point.py `_unpack_i4`)."""
+    C = img.shape[-1]
+    assert C % 2 == 0, C
+    amax = jnp.maximum(
+        jnp.abs(img.reshape(-1, C)).max(axis=0), eps
+    )
+    scale = (amax / 7.0).astype(jnp.float32)
+    q = jnp.clip(jnp.round(img / scale), -7, 7).astype(jnp.int32)
+    h = C // 2
+    lo = q[..., :h] & 0xF
+    hi = q[..., h:] & 0xF
+    return (lo | (hi << 4)).astype(jnp.uint8), scale
+
+
 def quantize_image_i8(img, eps=1e-8):
     """Per-channel symmetric int8 quantization of a (possibly signed) image
     or feature stack (the encoder's out_conv output is unbounded). Returns

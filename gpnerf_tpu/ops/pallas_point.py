@@ -136,6 +136,17 @@ def _to_bf16(x):
     return x.astype(jnp.bfloat16)
 
 
+def _unpack_i4(rows):
+    """Split-pack int4 rows (quantize_image_i4) -> two sign-extended bf16
+    halves: byte j holds channel j (low nibble) and channel j + C/2
+    (high), two's-complement. Sign extension is (n ^ 8) - 8 on the
+    nibble; [-8, 7] is exact in bf16."""
+    v = rows.astype(jnp.int32)
+    lo = ((v & 0xF) ^ 8) - 8
+    hi = (((v >> 4) & 0xF) ^ 8) - 8
+    return lo.astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
+
+
 def _lerp_rows(rows_bf, w_ref, Ct: int, T: int, widx=None):
     """Row-major packed taps -> channel-major weighted sum: rows_bf
     (B, T*Ct) bf16 [tap k at columns k*Ct:(k+1)*Ct], tap weights from
@@ -157,7 +168,8 @@ def _lerp_rows(rows_bf, w_ref, Ct: int, T: int, widx=None):
 
 def _point_kernel(*refs, C: int, V: int, tab_specs: tuple,
                   geom_specs: tuple, F: int):
-    """Kernel body. tab_specs = ((Tt, Ct), ...) projection tables (merged
+    """Kernel body. tab_specs = ((Tt, Ct, int4_packed), ...) projection
+    tables (merged
     [rgb|feat] on the production path; reference-semantics mode passes the
     full-res rgb quad table and a pre-lerped feature tab); geom_specs =
     ((Tg, Cg), ...) geometry tables (level-1 octet rows Tg=8, folded-coarse
@@ -205,9 +217,21 @@ def _point_kernel(*refs, C: int, V: int, tab_specs: tuple,
     rgbfeat = []
     for v in range(V):
         parts = []
-        for t, (Tt, Ct) in enumerate(tab_specs):
-            tmp = _to_bf16(rows_refs[t][v])  # (B, Tt*Ct)
-            acc = _lerp_rows(tmp, w_refs[t], Ct, Tt, widx=v)
+        for t, (Tt, Ct, packed) in enumerate(tab_specs):
+            if packed:
+                # int4 split-pack rows: lerp each nibble half (channels
+                # [0, Ct/2) low / [Ct/2, Ct) high) and concat channel-major
+                lo, hi = _unpack_i4(rows_refs[t][v])  # (B, Tt*Ct/2) x2
+                acc = jnp.concatenate(
+                    [
+                        _lerp_rows(lo, w_refs[t], Ct // 2, Tt, widx=v),
+                        _lerp_rows(hi, w_refs[t], Ct // 2, Tt, widx=v),
+                    ],
+                    axis=0,
+                )  # (Ct, B)
+            else:
+                tmp = _to_bf16(rows_refs[t][v])  # (B, Tt*Ct)
+                acc = _lerp_rows(tmp, w_refs[t], Ct, Tt, widx=v)
             parts.append(acc * pscale_refs[t][:])  # (Ct, B) dequantized
         rgbfeat.append(
             parts[0] if T == 1 else jnp.concatenate(parts, axis=0)
@@ -312,10 +336,18 @@ def fused_point_stages_tabs(tabs, feats, vmask, sig_ok, weights, *,
     Returns (alpha (P,) f32 [sigma-masked], rgb (P, 3) f32 [alpha-culled]).
     """
     V, _, P = tabs[0][1].shape
+    # per-tab (taps, channels, int4-packed): Ct comes from the scale
+    # vector so packed rows (Tt * Ct/2 bytes, quantize_image_i4) are
+    # recognized without an extra flag
     tab_specs = tuple(
-        (t[1].shape[1], t[0].shape[-1] // t[1].shape[1]) for t in tabs
+        (
+            t[1].shape[1],
+            t[2].shape[-1],
+            t[0].shape[-1] * 2 == t[1].shape[1] * t[2].shape[-1],
+        )
+        for t in tabs
     )
-    C = sum(ct for _, ct in tab_specs)
+    C = sum(ct for _, ct, _pk in tab_specs)
     geom_specs = tuple(
         (g[1].shape[0], g[0].shape[-1] // g[1].shape[0]) for g in geom_tabs
     )

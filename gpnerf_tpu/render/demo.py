@@ -125,7 +125,8 @@ class Renderer(BaseRenderer):
                  bin_margin_voxels=2.0, quantize_proj=False,
                  pack_octet_u32=False, proj_vp_order=False,
                  pallas_lerp=False, pallas_point=False, splat_cap=0,
-                 kernel_octet=True, sigma_query_cull=False, **kwargs):
+                 kernel_octet=True, sigma_query_cull=False, int4_feat=False,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         self.ray_cap = int(ray_cap)
         self.sigma_cap = int(sigma_cap)
@@ -147,6 +148,11 @@ class Renderer(BaseRenderer):
         # demo-vs-Base consistency test turns it on together with
         # tpu.base_occupancy_cull so both pipelines run the identical cull.
         self.sigma_query_cull = bool(sigma_query_cull)
+        # int4 split-pack the SPLIT-mode encoder-feature table (in-kernel
+        # nibble unpack; requires quantize_proj + pallas_point). The
+        # kernel path alone consumes it — the op-by-op/XLA fallback has
+        # no int4 sampler, so only the fused TPU path may enable this.
+        self.int4_feat = bool(int4_feat)
         # tap_window W (0 = off): occupancy-tap only W consecutive samples of
         # the reference 64-grid starting at each ray's splat-derived front
         # depth (per-pixel scatter-min of occupied-voxel camera depth) minus
@@ -1388,7 +1394,21 @@ class Renderer(BaseRenderer):
                 src_scale = jnp.full((3,), 1.0 / 255.0, jnp.float32)
             else:
                 src_quad = build_quad_table_2d(src_unnorm)
-            if self.quantize_proj:
+            use_int4 = (
+                self.int4_feat
+                and self.pallas_point
+                and jax.default_backend() == "tpu"
+            )  # kernel-only unpack: mirror the use_fused gate
+            if self.quantize_proj and use_int4:
+                # int4 split-pack (kernel-only unpack): halves the row
+                # bytes of the split mode's dominant per-point VMEM gather
+                from gpnerf_tpu.ops.grid_sample import quantize_image_i4
+
+                qf, feat_scale = quantize_image_i4(
+                    featmaps.astype(jnp.float32)
+                )
+                feat_quad = build_quad_table_2d(qf)
+            elif self.quantize_proj:
                 # int8-quantize the encoder-feature table too (per-channel
                 # symmetric, dequant after the bilinear sum — the same
                 # machinery as the merged table): 4x fewer bytes on the
@@ -1969,6 +1989,7 @@ def build_render(cfg):
         splat_cap=cfg.tpu.splat_cap,
         kernel_octet=cfg.tpu.kernel_octet,
         sigma_query_cull=cfg.tpu.sigma_query_cull,
+        int4_feat=cfg.tpu.int4_feat,
     )
 
 

@@ -230,3 +230,67 @@ def test_fused_point_stages_geom_tabs_and_split_parity():
     assert np.abs(r - r_ref).mean() < 5e-3
     assert alive[a_ref > 0.05].all()
     assert alive_r[a > 0.05].all()
+
+
+def test_fused_point_stages_int4_packed_tab():
+    """int4 split-pack tab (quantize_image_i4 rows, in-kernel nibble
+    unpack): the kernel's quad-lerp over a packed tab == the f32 lerp of
+    the dequantized values, via the channel-major [lo | hi] concat. Runs
+    the kernel in interpret mode on a minimal 1-view program and checks
+    the projection feature it feeds the heads (alpha parity bounds)."""
+    from gpnerf_tpu.ops.grid_sample import quantize_image_i4
+    from gpnerf_tpu.ops.pallas_point import fused_point_stages_tabs
+
+    rs = np.random.RandomState(7)
+    P, V, C = 600, 2, 32
+
+    rgbhead = NeRFRGBHead(in_feat_ch=C - 3)
+    rgb_vars = rgbhead.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 2, V, C)), jnp.zeros((2, 2, 64)),
+        jnp.zeros((2, 2, V, 1)),
+    )
+    sf_mlp = MLP((64,), ("elu",))
+    F = 96
+    sf_vars = sf_mlp.init(jax.random.PRNGKey(1), jnp.zeros((2, F)))
+    head_params = {
+        "sigmahead": {"out_geometry_fc": sf_vars["params"]},
+        "rgbhead": rgb_vars["params"],
+    }
+
+    img = (rs.randn(4, P, C) * 0.4).astype(np.float32)  # (taps stacked)
+    packed, scale = quantize_image_i4(jnp.asarray(img.transpose(1, 0, 2)))
+    packed = np.asarray(packed)  # (P, 4, C/2)
+    rows_pk = np.broadcast_to(
+        packed.reshape(P, 4 * (C // 2)), (V, P, 4 * (C // 2))
+    ).reshape(V * P, -1)
+    # f32 oracle: dequantized taps, weighted sum
+    q = np.asarray(
+        jnp.clip(jnp.round(jnp.asarray(img.transpose(1, 0, 2)) / scale), -7, 7)
+    )
+    deq = q * np.asarray(scale)  # (P, 4, C)
+    w4 = np.abs(rs.rand(V, 4, P)).astype(np.float32)
+    rf = np.einsum("pkc,vkp->pvc", deq, w4).astype(np.float32)
+
+    feats = (rs.randn(P, F) * 0.2).astype(np.float32)
+    vmask = np.ones((V, P), np.float32)
+    sig_ok = np.ones((P,), bool)
+    mean, var = fused_mean_variance(jnp.asarray(rf))
+    nvo = jnp.asarray(vmask.T.sum(axis=-1, keepdims=True))
+    sigma_feat = sf_mlp.apply(sf_vars, jnp.asarray(feats))
+    sigma_ref = rgbhead.apply(
+        rgb_vars, sigma_feat, mean[:, 0], var[:, 0], nvo,
+        method=lambda m, *a: m.density(*a),
+    )[:, 0]
+    alpha_ref = 1.0 - jnp.exp(-jnp.maximum(sigma_ref, 0.0))
+
+    weights = pack_head_weights(head_params, C)
+    alpha, rgb = fused_point_stages_tabs(
+        ((jnp.asarray(rows_pk), jnp.asarray(w4), scale),),
+        jnp.asarray(feats), jnp.asarray(vmask), jnp.asarray(sig_ok),
+        weights, block=256, interpret=True,
+    )
+    a = np.asarray(alpha)
+    a_ref = np.asarray(alpha_ref)
+    np.testing.assert_allclose(a, a_ref, atol=0.05, rtol=0.3)
+    assert np.abs(a - a_ref).mean() < 5e-3
