@@ -116,7 +116,7 @@ def main():
     n_frames = 10
     host_batches = get_bench_frames(cfg, n_frames)
 
-    variables = render.init_variables(jax.random.PRNGKey(0), host_batches[0])
+    variables = render.init_variables(0, host_batches[0])
 
     import os
 

@@ -114,9 +114,17 @@ class Renderer:
         (op-by-op), and on a networked TPU runtime each eager op is a
         round-trip — a 512^2 ResNet init takes minutes remotely vs seconds
         on local CPU. The variables transfer to the accelerator on first
-        jitted use."""
+        jitted use.
+
+        `rng` may be an int seed (preferred): a PRNGKey made OUTSIDE the
+        cpu pin lands on the accelerator and the first `split` here then
+        needs a device->host transfer of the key — one avoidable tunnel
+        round-trip per init on a networked runtime (and the op the r5
+        tunnel outage wedged on)."""
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
+            if isinstance(rng, int):
+                rng = jax.random.PRNGKey(rng)
             return self._init_variables_impl(rng, batch)
 
     def _init_variables_impl(self, rng, batch) -> Dict[str, Any]:

@@ -70,7 +70,7 @@ def main():
     rows = []
     for name, cfg in (("tight_k64", cfg_t), ("ref", cfg_r)):
         render = get("render", "demo_render")(cfg)
-        variables = render.init_variables(jax.random.PRNGKey(0), host[0])
+        variables = render.init_variables(0, host[0])
         variables = load_eval_model(
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), "artifacts", "bench_ckpt.pth"),

@@ -67,7 +67,7 @@ def main():
     n_frames = 10
     host_batches = get_bench_frames(cfg, n_frames)
     render = get("render", cfg.render.file)(cfg)
-    variables = render.init_variables(jax.random.PRNGKey(0), host_batches[0])
+    variables = render.init_variables(0, host_batches[0])
     variables = load_eval_model(
         os.path.join(root, "artifacts", "bench_ckpt.pth"), variables,
         cfg.head.sigma.n_layers,

@@ -56,8 +56,7 @@ def main():
     )
     eval_loader = DataLoader(eval_dataset, eval_bs)
 
-    rng = jax.random.PRNGKey(seed)
-    variables = render.init_variables(rng, eval_dataset[0])
+    variables = render.init_variables(int(seed), eval_dataset[0])
     variables = load_eval_model(
         cfg.render.resume_path, variables, cfg.head.sigma.n_layers
     )

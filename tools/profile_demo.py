@@ -60,7 +60,7 @@ def main():
         np.random.seed(0)
         ds = get("dataset", cfg.dataset.test.file)(cfg, is_train=False)
         frames = [ds[i] for i in range(4)]
-    variables = render.init_variables(jax.random.PRNGKey(0), frames[0])
+    variables = render.init_variables(0, frames[0])
 
     import os
 

@@ -59,7 +59,7 @@ def main():
     frames = get_bench_frames(cfg, n_frames=None)
     render = get("render", cfg.render.file)(cfg)
     b0 = frames[0]
-    variables = render.init_variables(jax.random.PRNGKey(0), b0)
+    variables = render.init_variables(0, b0)
     ckpt = os.path.join(root, "artifacts", "bench_ckpt.pth")
     variables = load_eval_model(ckpt, variables, cfg.head.sigma.n_layers)
 

@@ -82,7 +82,7 @@ def main():
     n = 8
     host = get_bench_frames(cfg, n)
     render = get("render", cfg.render.file)(cfg)
-    variables = render.init_variables(jax.random.PRNGKey(0), host[0])
+    variables = render.init_variables(0, host[0])
     variables = load_eval_model(
         os.path.join(root, "artifacts", "bench_ckpt.pth"), variables,
         cfg.head.sigma.n_layers,

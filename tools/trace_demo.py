@@ -43,7 +43,7 @@ def capture(trace_dir):
     from gpnerf_tpu.utils.bench_frames import get_bench_frames
 
     frames = get_bench_frames(cfg, 8)
-    variables = render.init_variables(jax.random.PRNGKey(0), frames[0])
+    variables = render.init_variables(0, frames[0])
     if os.path.exists(ckpt):
         from gpnerf_tpu.train.checkpoint import load_eval_model
 

@@ -108,9 +108,13 @@ def main():
     eval_loader = DataLoader(eval_dataset, eval_bs)
 
     # init model variables from a sample batch
-    rng = jax.random.PRNGKey(seed)
     sample = train_dataset[0]
-    variables = render.init_variables(rng, sample)
+    variables = render.init_variables(int(seed), sample)
+    # the trainer's step rng CAN live on the accelerator (it is consumed
+    # by the jitted train step); created on host cpu to avoid an eager
+    # accelerator dispatch before the first step
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        rng = jax.random.PRNGKey(seed)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables))
     logger.info(f"total parameters: {n_params}")
 

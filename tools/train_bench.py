@@ -66,7 +66,7 @@ def main():
     dev_batches = [
         {k: jnp.asarray(v) for k, v in b.items()} for b in batches
     ]
-    variables = render.init_variables(jax.random.PRNGKey(0), batches[0])
+    variables = render.init_variables(0, batches[0])
     params, batch_stats = split_variables(variables)
     opt_state = optimizer.init(params)
     step = make_train_step(render, criterion, optimizer)
