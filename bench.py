@@ -387,6 +387,13 @@ def main():
         cfg_ref.tpu.ray_cap = 57344
         cfg_ref.tpu.sigma_cap = 2293760
         cfg_ref.tpu.rgb_cap = 1048576
+        # windowless frame mode (in-kernel sp_feats>0 cull, no tap/slot
+        # machinery) is available as tpu.frame_mode True but stays OFF
+        # here: its XLA compile runs 7+ minutes on this runtime (vs ~3 for
+        # the dense-slots form), which would blow the driver's bench
+        # budget on a cold compile cache. BENCH_REF_FRAME=1 opts in.
+        if os.environ.get("BENCH_REF_FRAME", "0") == "1":
+            cfg_ref.tpu.frame_mode = True
         cfg_ref.freeze()
         render_ref = get("render", cfg_ref.render.file)(cfg_ref)
         # ref mode runs ~500 ms/frame: per-frame dispatch noise is <1% there,

@@ -167,7 +167,7 @@ def _lerp_rows(rows_bf, w_ref, Ct: int, T: int, widx=None):
 
 
 def _point_kernel(*refs, C: int, V: int, tab_specs: tuple,
-                  geom_specs: tuple, F: int):
+                  geom_specs: tuple, F: int, occ_geom: bool):
     """Kernel body. tab_specs = ((Tt, Ct, int4_packed), ...) projection
     tables (merged
     [rgb|feat] on the production path; reference-semantics mode passes the
@@ -184,7 +184,16 @@ def _point_kernel(*refs, C: int, V: int, tab_specs: tuple,
       [feats_ref (B, F) iff F > 0]
       vmask_ref (V, B), sig_ok_ref (1, B)
       then the 26 packed head weight/bias refs
-      refs[-2:]        alpha_ref (1, B), rgb_ref (3, B)
+      refs[-2:] (or [-3:-1] with occ_geom) alpha_ref (1, B), rgb_ref (3, B)
+      [occm_ref (1, B) iff occ_geom]
+
+    occ_geom: derive the reference's occupancy cull (`sp_feats > 0`,
+    demo_render.py:294) IN-KERNEL from geometry tab 0's lerped level-1
+    block — trilinear is linear, so the dequantized channel sum of the
+    lerped corners IS the trilinear occupancy sample. Sigma is zeroed
+    where it is <= 0 and the 0/1 mask is emitted (occm_ref) so the
+    caller's n_sigma stays an honest count. Replaces the XLA-side
+    occupancy tap / query fallback for blanket (frame) programs.
     """
     T = len(tab_specs)
     G = len(geom_specs)
@@ -197,10 +206,12 @@ def _point_kernel(*refs, C: int, V: int, tab_specs: tuple,
         feats_ref = refs[off]
         off += 1
     vmask_ref, sig_ok_ref = refs[off : off + 2]
+    n_out = 3 if occ_geom else 2
     (w_sf, b_sf, w_d0, b_d0, w_d1, b_d1, w_d2, b_d2, w_d3,
      b_d3, w_b0, b_b0, w_b1, b_b1, w_v0, b_v0, w_v1, b_v1,
-     w_r0, b_r0, w_r1, b_r1, w_r2, b_r2) = refs[off + 2 : -2]
-    alpha_ref, rgb_ref = refs[-2:]
+     w_r0, b_r0, w_r1, b_r1, w_r2, b_r2) = refs[off + 2 : -n_out]
+    alpha_ref, rgb_ref = refs[-n_out], refs[-n_out + 1]
+    occm_ref = refs[-1] if occ_geom else None
     B = vmask_ref.shape[-1]
 
     def elu(x):
@@ -260,6 +271,11 @@ def _point_kernel(*refs, C: int, V: int, tab_specs: tuple,
             acc = _lerp_rows(grows, gw, Cg, Tg)
             gparts.append(acc * geom_refs[3 * g + 2][:])
         fT = gparts[0] if G == 1 else jnp.concatenate(gparts, axis=0)
+        if occ_geom:
+            # level-1 trilinear occupancy = channel sum of tab 0's
+            # dequantized lerp (matches query_octet*'s with_l1_occ:
+            # feats[..., :nch].sum() with nch == Cg of tab 0)
+            occ = jnp.sum(gparts[0], axis=0, keepdims=True)  # (1, B)
     else:
         # XLA-query path: feats -> channel-major via identity-MXU transpose
         eye = (
@@ -284,6 +300,10 @@ def _point_kernel(*refs, C: int, V: int, tab_specs: tuple,
     for v in range(1, V):
         nv = nv + vmask_ref[v, :][None, :]
     sig_ok = sig_ok_ref[:]  # (1, B) f32 0/1
+    if occ_geom:
+        occm = jnp.where(occ > 0.0, 1.0, 0.0)  # (1, B)
+        occm_ref[:] = occm
+        sig_ok = sig_ok * occm
     sigma = jnp.where((nv < 1.0) | (sig_ok < 0.5), 0.0, sigma)
     alpha = 1.0 - jnp.exp(-sigma)  # (1, B)
     alpha_ref[:] = alpha
@@ -308,10 +328,11 @@ def _point_kernel(*refs, C: int, V: int, tab_specs: tuple,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "interpret")
+    jax.jit, static_argnames=("block", "interpret", "occ_geom")
 )
 def fused_point_stages_tabs(tabs, feats, vmask, sig_ok, weights, *,
-                            geom_tabs=(), block=512, interpret=False):
+                            geom_tabs=(), block=512, interpret=False,
+                            occ_geom=False):
     """Run the fused per-point head kernel over T projection tables.
 
     Args:
@@ -333,8 +354,14 @@ def fused_point_stages_tabs(tabs, feats, vmask, sig_ok, weights, *,
         geometry tables lerped IN-KERNEL (level-1 octet rows Tg=8 +
         folded-coarse nearest rows Tg=1 — query_octet2 semantics with the
         dequant expansion kept in VMEM).
-    Returns (alpha (P,) f32 [sigma-masked], rgb (P, 3) f32 [alpha-culled]).
+      occ_geom: apply the reference's level-1 occupancy cull
+        (`sp_feats > 0`, demo_render.py:294) in-kernel from geom tab 0's
+        lerped block and ALSO return its 0/1 mask (see _point_kernel).
+        Requires geom_tabs with tab 0 = the level-1 octet table.
+    Returns (alpha (P,) f32 [sigma-masked], rgb (P, 3) f32 [alpha-culled]
+    [, occm (P,) f32 0/1 iff occ_geom]).
     """
+    assert not occ_geom or geom_tabs, "occ_geom needs in-kernel geom tabs"
     V, _, P = tabs[0][1].shape
     # per-tab (taps, channels, int4-packed): Ct comes from the scale
     # vector so packed rows (Tt * Ct/2 bytes, quantize_image_i4) are
@@ -396,10 +423,10 @@ def fused_point_stages_tabs(tabs, feats, vmask, sig_ok, weights, *,
         else [pl.BlockSpec((block, F), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)]
     )
-    alpha, rgb = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
             _point_kernel, C=C, V=V, tab_specs=tab_specs,
-            geom_specs=geom_specs, F=F,
+            geom_specs=geom_specs, F=F, occ_geom=occ_geom,
         ),
         grid=(nb,),
         in_specs=[
@@ -431,10 +458,21 @@ def fused_point_stages_tabs(tabs, feats, vmask, sig_ok, weights, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+        )
+        + (
+            (pl.BlockSpec((1, block), lambda i: (0, i),
+                          memory_space=pltpu.VMEM),)
+            if occ_geom
+            else ()
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, Pp), jnp.float32),
             jax.ShapeDtypeStruct((3, Pp), jnp.float32),
+        )
+        + (
+            (jax.ShapeDtypeStruct((1, Pp), jnp.float32),)
+            if occ_geom
+            else ()
         ),
         interpret=interpret,
     )(
@@ -447,6 +485,9 @@ def fused_point_stages_tabs(tabs, feats, vmask, sig_ok, weights, *,
         sig_ok.astype(jnp.float32).reshape(1, Pp),
         *weights,
     )
+    alpha, rgb = outs[0], outs[1]
+    if occ_geom:
+        return alpha[0, :P], rgb[:, :P].T, outs[2][0, :P]
     return alpha[0, :P], rgb[:, :P].T
 
 

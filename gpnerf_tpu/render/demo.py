@@ -450,7 +450,15 @@ class Renderer(BaseRenderer):
         sgn = -1.0 if neg_ray else 1.0
         s0_f = (s_lo_f + (W - 1)) if neg_ray else s_lo_f
 
-        frame_mode = self.frame_mode and use_window
+        # frame mode also covers the WINDOWLESS blanket program (reference
+        # semantics: tight_cull off, K == S == 64) — the frame is then the
+        # full sample grid (s_lo = 0) and the occupancy cull comes from the
+        # query / in-kernel level-1 lerp instead of the tap, which skips
+        # the tap gather + rank compaction entirely (trace r5: 26 ms tap +
+        # ~12 ms slot machinery on the 3.67M-point blanket frame)
+        frame_mode = self.frame_mode and (
+            use_window or (bins is None and not neg_ray and K == S)
+        )
         if frame_mode:
             # FRAME MODE: no occupancy tap, no rank compaction, no global
             # compaction. The per-point frame is the K consecutive 64-grid
@@ -702,9 +710,20 @@ class Renderer(BaseRenderer):
             return grows, gw.T, sc
 
         geom_tabs = None
-        if self.kernel_octet and not mask_from_query:
+        if self.kernel_octet:
             geom_tabs = [_geom_tab(i, t) for i, t in enumerate(octet_vols)]
             if any(g is None for g in geom_tabs):
+                geom_tabs = None
+        occ_kernel = False
+        nch = self.nerfhead.spconv_out_dim[0]
+        if geom_tabs is not None and mask_from_query:
+            # the occupancy gate no longer forces the XLA query: the kernel
+            # derives the reference's `sp_feats > 0` cull
+            # (demo_render.py:294) from geom tab 0's lerped level-1 block —
+            # provided tab 0 IS the nch-channel level-1 table
+            if geom_tabs[0][0].shape[-1] // geom_tabs[0][1].shape[0] == nch:
+                occ_kernel = True
+            else:
                 geom_tabs = None
         feats = None
         if geom_tabs is None:
@@ -721,8 +740,7 @@ class Renderer(BaseRenderer):
                         m.sigmahead.xyzc_net.query_octet(*a, **k),
                     octet_vols, dhw_c, out_sh, **kw,
                 )  # (P, 128)
-        if mask_from_query:
-            nch = self.nerfhead.spconv_out_dim[0]
+        if mask_from_query and not occ_kernel:
             occ_l1 = feats[..., :nch].sum(axis=-1)
             sig_ok = sig_ok & (occ_l1.astype(jnp.float32) > 0)
 
@@ -780,10 +798,17 @@ class Renderer(BaseRenderer):
                 else None
             ),
         )
-        alpha, rgb = fused_point_stages_tabs(
+        outs = fused_point_stages_tabs(
             tabs, feats, vmask, sig_ok, weights,
             geom_tabs=tuple(geom_tabs) if geom_tabs else (),
+            occ_geom=occ_kernel,
         )  # alpha (P,) sigma-masked; rgb (P, 3) alpha-culled
+        alpha, rgb = outs[0], outs[1]
+        if occ_kernel:
+            # fold the kernel's occupancy verdict back into sig_ok so the
+            # n_sigma stat counts occupancy-passing samples, same as the
+            # XLA-query fallback
+            sig_ok = sig_ok & (outs[2] > 0.5)
         alpha_live = alpha > 1e-14  # kernel alpha is 0 wherever culled
 
         # composite over the slot-major (K, ray) frame — same as the

@@ -294,3 +294,94 @@ def test_fused_point_stages_int4_packed_tab():
     a_ref = np.asarray(alpha_ref)
     np.testing.assert_allclose(a, a_ref, atol=0.05, rtol=0.3)
     assert np.abs(a - a_ref).mean() < 5e-3
+
+
+def test_fused_point_stages_occ_geom_cull():
+    """occ_geom: the kernel derives the reference's level-1 occupancy cull
+    (`sp_feats > 0`, demo_render.py:294) from geom tab 0's lerped block —
+    sigma/rgb must be zeroed exactly where the XLA-side trilinear channel
+    sum is <= 0, and the emitted occm mask must equal that predicate."""
+    from gpnerf_tpu.ops.grid_sample import (
+        NearestTable,
+        build_octet_table_3d,
+        nearest_row_and_weight,
+        nearest_rows,
+        octet_rows_and_weights,
+        trilinear_octet_rows,
+    )
+    from gpnerf_tpu.ops.pallas_point import fused_point_stages_tabs
+
+    rs = np.random.RandomState(11)
+    P, V = 640, 2
+    C1, Cc = 32, 64
+    C = 35
+
+    rgbhead = NeRFRGBHead(in_feat_ch=32)
+    rgb_vars = rgbhead.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 2, V, C)), jnp.zeros((2, 2, 64)),
+        jnp.zeros((2, 2, V, 1)),
+    )
+    sf_mlp = MLP((64,), ("elu",))
+    sf_vars = sf_mlp.init(jax.random.PRNGKey(1), jnp.zeros((2, C1 + Cc)))
+    head_params = {
+        "sigmahead": {"out_geometry_fc": sf_vars["params"]},
+        "rgbhead": rgb_vars["params"],
+    }
+
+    # level-1 volume with large EMPTY regions so the occupancy cull bites
+    D = H = W = 7
+    vol1 = rs.randint(0, 255, size=(D, H, W, C1)).astype(np.uint8)
+    vol1[(rs.rand(D, H, W) > 0.45)] = 0  # zero sites -> occ <= 0 regions
+    oct1 = build_octet_table_3d(jnp.asarray(vol1))
+    sc1 = (0.01 + rs.rand(C1) * 0.03).astype(np.float32)
+    volc = rs.randint(-127, 127, size=(D, H, W, Cc)).astype(np.int8)
+    ntab = NearestTable(jnp.asarray(volc.reshape(-1, Cc)), (D, H, W), 2)
+    scc = (0.01 + rs.rand(Cc) * 0.03).astype(np.float32)
+    size = jnp.asarray([D, H, W])
+    pos = jnp.asarray(
+        (rs.rand(P, 3) * (np.array([D, H, W]) + 0.5) - 0.5).astype(
+            np.float32
+        )
+    )
+
+    rows_s = rs.randint(0, 255, size=(V * P, 4 * C)).astype(np.uint8)
+    w4_s = np.abs(rs.rand(V, 4, P)).astype(np.float32)
+    s_scale = np.full((C,), 1.0 / 255.0, np.float32)
+    vmask = np.ones((V, P), np.float32)
+    sig_ok = rs.rand(P) > 0.2
+
+    # XLA-side occupancy predicate (query_octet* with_l1_occ semantics)
+    f1 = trilinear_octet_rows(oct1, pos, size, scale=jnp.asarray(sc1))
+    occ_pred = np.asarray(f1.sum(axis=-1)) > 0
+
+    grows1, gw1 = octet_rows_and_weights(oct1, pos, size)
+    growsc, gwc = nearest_row_and_weight(ntab, pos, size)
+    weights = pack_head_weights(head_params, C, fold_nch=C1)
+    tabs = ((jnp.asarray(rows_s), jnp.asarray(w4_s), jnp.asarray(s_scale)),)
+    geom_tabs = (
+        (grows1, gw1.T, jnp.asarray(sc1)),
+        (growsc, gwc.T, jnp.asarray(scc)),
+    )
+    alpha0, rgb0 = fused_point_stages_tabs(
+        tabs, None, jnp.asarray(vmask), jnp.asarray(sig_ok), weights,
+        geom_tabs=geom_tabs, block=256, interpret=True,
+    )
+    alpha1, rgb1, occm = fused_point_stages_tabs(
+        tabs, None, jnp.asarray(vmask), jnp.asarray(sig_ok), weights,
+        geom_tabs=geom_tabs, block=256, interpret=True, occ_geom=True,
+    )
+    occm = np.asarray(occm) > 0.5
+    # the mask must be the exact trilinear predicate (modulo bf16 lerp
+    # noise exactly at the boundary — require bitwise agreement away from 0)
+    margin = np.abs(np.asarray(f1.sum(axis=-1))) > 1e-3
+    assert (occm[margin] == occ_pred[margin]).all()
+    assert occm.mean() < 0.95  # the cull actually bites on this volume
+    a0, a1 = np.asarray(alpha0), np.asarray(alpha1)
+    # culled points: zeroed; surviving points: bitwise equal to the
+    # occ_geom=False kernel
+    assert (a1[~occm] == 0.0).all()
+    np.testing.assert_array_equal(a1[occm], a0[occm])
+    r0, r1 = np.asarray(rgb0), np.asarray(rgb1)
+    assert (r1[~occm] == 0.0).all()
+    np.testing.assert_array_equal(r1[occm], r0[occm])
