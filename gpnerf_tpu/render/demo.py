@@ -597,7 +597,11 @@ class Renderer(BaseRenderer):
             return self._point_stages(
                 apply, batch, pre, tables, pts_c, dhw_c, sig_ok, None,
                 perray_overflow, jnp.int32(0), K, nr, ray_ok, neg_ray,
-                frame_mode=True, mask_from_query=False,
+                # the tap already culled; tpu.sigma_query_cull opts into
+                # the trilinear sp_feats>0 cull ON TOP (same as the
+                # compact path) — that makes dense_slots and windowless
+                # frame mode cull the identical sample set (parity test)
+                frame_mode=True, mask_from_query=self.sigma_query_cull,
                 n_sigma=slot_validT.sum(), stop_stage=stop_stage,
             )
 
@@ -778,13 +782,17 @@ class Renderer(BaseRenderer):
                 pts_c, pre["KE"], feat_quad, Hsrc, Wsrc, neg_ray=neg_ray,
                 batched=True,
             )
-            Cf = rows_f.shape[-1] // 4
             src_scale = tables.get("src_scale")
             if src_scale is None:
                 src_scale = jnp.ones((rows_s.shape[-1] // 4,), jnp.float32)
             feat_scale = tables.get("feat_scale")
+            # channel count from the scale vector, NOT the row byte width:
+            # int4 split-packed rows carry 2 channels/byte
             if feat_scale is None:
+                Cf = rows_f.shape[-1] // 4
                 feat_scale = jnp.ones((Cf,), jnp.float32)
+            else:
+                Cf = feat_scale.shape[-1]
             tabs = (
                 (rows_s, w4_s, src_scale),
                 (rows_f, w4_f, feat_scale),
